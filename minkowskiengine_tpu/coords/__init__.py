@@ -1,0 +1,16 @@
+"""TPU-native coordinate engine: packed keys, sorted maps, dense kernel maps."""
+
+from .kernel_map import KernelMap, build_kernel_map, build_stride_map
+from .manager import CoordinateFieldMap, CoordinateManager, CoordinateMapKey
+from .map import CoordinateMap, bucket_capacity
+
+__all__ = [
+    "CoordinateFieldMap",
+    "CoordinateManager",
+    "CoordinateMap",
+    "CoordinateMapKey",
+    "KernelMap",
+    "build_kernel_map",
+    "build_stride_map",
+    "bucket_capacity",
+]

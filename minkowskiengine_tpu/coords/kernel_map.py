@@ -1,0 +1,183 @@
+"""Kernel maps as dense per-offset gather matrices.
+
+The reference stores kernel maps as ragged per-offset (in_rows, out_rows)
+pair lists (reference: src/kernel_map.hpp:40-104, src/kernel_map.cuh:48-429)
+and executes convolution as gather → GEMM → atomic-scatter.  The TPU-native
+design exploits a structural fact the reference leaves implicit: **for a
+fixed kernel offset the in↔out relation is a partial matching** — each output
+coordinate probes exactly one input coordinate, and distinct outputs probe
+distinct inputs.  A kernel map is therefore two dense index matrices:
+
+    in_idx   : (K, C_out) int32 — input row feeding each output row at
+               offset k, or -1;
+    out_idx_t: (K, C_in)  int32 — the inverse matching (output row consuming
+               each input row at offset k), or -1.
+
+Both convolution directions become *pure gathers* (no scatters, no atomics):
+
+    fwd : out[o]  = Σ_k  in[in_idx[k, o]]    @ W[k]
+    bwd : d_in[i] = Σ_k  d_out[out_idx_t[k, i]] @ W[k]ᵀ
+
+which keeps the MXU fed with large dense GEMMs and eliminates the
+atomic-scatter hazards the reference pays for on GPU.  Shapes are static;
+missing pairs are -1 and gather as zero rows.
+
+The transpose-convolution map is the same object with the two matrices
+swapped — the TPU form of the reference's ``swap_in_out_map_functor`` cache
+trick (reference: src/coordinate_map_manager.cpp:759-813).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import keys as K
+from .lookup import find_rows
+from .map import CoordinateMap
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class KernelMap:
+    """Dense per-offset matching between an input and an output map."""
+
+    in_idx: jnp.ndarray  # (K, C_out) int32, -1 = no pair
+    out_idx_t: jnp.ndarray  # (K, C_in) int32, -1 = no pair
+    n_in: int
+    n_out: int
+
+    @property
+    def kernel_volume(self) -> int:
+        return int(self.in_idx.shape[0])
+
+    @property
+    def capacity_out(self) -> int:
+        return int(self.in_idx.shape[1])
+
+    @property
+    def capacity_in(self) -> int:
+        return int(self.out_idx_t.shape[1])
+
+    def swap(self) -> "KernelMap":
+        """The transposed map (out↔in roles flipped)."""
+        return KernelMap(self.out_idx_t, self.in_idx, self.n_out, self.n_in)
+
+    def pair_counts(self) -> np.ndarray:
+        """(K,) host array of valid pair counts per offset (diagnostic)."""
+        return np.asarray(jnp.sum(self.in_idx >= 0, axis=1))
+
+    def to_pair_lists(self):
+        """Ragged {k: (in_rows, out_rows)} host dict — reference
+        ``kernel_map_th`` format (src/coordinate_map_manager.cpp:1358-1414)."""
+        in_idx = np.asarray(self.in_idx)
+        out = {}
+        for k in range(in_idx.shape[0]):
+            o = np.nonzero(in_idx[k] >= 0)[0]
+            if o.size:
+                out[k] = (in_idx[k][o].astype(np.int64), o.astype(np.int64))
+        return out
+
+    def tree_flatten(self):
+        return ((self.in_idx, self.out_idx_t), (self.n_in, self.n_out))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        in_idx, out_idx_t = children
+        n_in, n_out = aux
+        return cls(in_idx, out_idx_t, n_in, n_out)
+
+
+@jax.jit
+def _build_in_idx(in_hi, in_lo, n_in, out_coords, n_out, offsets):
+    """in_idx[k, o] = row of (out_coords[o] + offsets[k]) in the in-map, or -1."""
+    C_out = out_coords.shape[0]
+    queries = out_coords[None, :, :] + offsets[:, None, :]  # (K, C_out, D+1)
+    q_hi, q_lo = K.pack(queries)
+    rows = find_rows(in_hi, in_lo, n_in, q_hi, q_lo)
+    valid_out = (jnp.arange(C_out, dtype=jnp.int32) < n_out)[None, :]
+    overflow = K.overflow_mask(queries)
+    return jnp.where(valid_out & ~overflow, rows, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _invert_matching(in_idx, capacity_in):
+    """out_idx_t[k, i] = o where in_idx[k, o] == i (injective per k), else -1."""
+    Kv, C_out = in_idx.shape
+    o = jnp.broadcast_to(jnp.arange(C_out, dtype=jnp.int32)[None, :], in_idx.shape)
+
+    def invert_one(idx_k, o_k):
+        tgt = jnp.where(idx_k >= 0, idx_k, capacity_in)
+        return (
+            jnp.full((capacity_in,), -1, dtype=jnp.int32)
+            .at[tgt]
+            .set(o_k, mode="drop")
+        )
+
+    return jax.vmap(invert_one)(in_idx, o)
+
+
+def build_kernel_map(
+    in_map: CoordinateMap,
+    out_map: CoordinateMap,
+    offsets: np.ndarray,
+) -> KernelMap:
+    """Build the dense kernel map for absolute coordinate ``offsets``.
+
+    Matches the reference's CPU builder semantics (reference:
+    src/coordinate_map_cpu.hpp:569-670): iterate output coordinates, probe
+    ``out_coord + offset_k`` in the input map.  Vectorized over all
+    (offset, output) pairs in one jitted call.
+    """
+    offsets = np.asarray(offsets, dtype=np.int32)
+    d1 = in_map.coordinates.shape[1]
+    if offsets.shape[1] == d1 - 1:  # prepend batch-delta 0
+        offsets = np.concatenate(
+            [np.zeros((offsets.shape[0], 1), np.int32), offsets], axis=1
+        )
+    in_idx = _build_in_idx(
+        in_map.key_hi,
+        in_map.key_lo,
+        jnp.int32(in_map.size),
+        out_map.coordinates,
+        jnp.int32(out_map.size),
+        jnp.asarray(offsets),
+    )
+    out_idx_t = _invert_matching(in_idx, in_map.capacity)
+    return KernelMap(in_idx, out_idx_t, in_map.size, out_map.size)
+
+
+@jax.jit
+def _build_stride_in_to_out(out_hi, out_lo, n_out, in_coords, n_in, stride):
+    """Map each input row to the output row of its strided voxel."""
+    batch = in_coords[:, :1]
+    spatial = jnp.floor_divide(in_coords[:, 1:], stride) * stride
+    queries = jnp.concatenate([batch, spatial], axis=1)
+    q_hi, q_lo = K.pack(queries)
+    rows = find_rows(out_hi, out_lo, n_out, q_hi, q_lo)
+    valid = jnp.arange(in_coords.shape[0], dtype=jnp.int32) < n_in
+    return jnp.where(valid, rows, -1)
+
+
+def build_stride_map(
+    in_map: CoordinateMap, out_map: CoordinateMap, out_tensor_stride
+) -> jnp.ndarray:
+    """(C_in,) int32: output row per input row (many-to-one), -1 padding.
+
+    Reference: ``stride_map`` (src/coordinate_map_cpu.hpp:672-722) — the
+    pooling fast path when stride == kernel_size, and the quantization map.
+    """
+    stride = jnp.asarray(np.asarray(out_tensor_stride, np.int32))
+    return _build_stride_in_to_out(
+        out_map.key_hi,
+        out_map.key_lo,
+        jnp.int32(out_map.size),
+        in_map.coordinates,
+        jnp.int32(in_map.size),
+        stride,
+    )

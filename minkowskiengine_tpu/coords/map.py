@@ -1,0 +1,119 @@
+"""CoordinateMap: an immutable, sorted, padded coordinate set on device.
+
+TPU-native replacement for the reference's hash-table maps
+(reference: src/coordinate_map_cpu.hpp:287-341, src/coordinate_map_gpu.cuh:45-225).
+Instead of a mutable hash table, a map is an immutable value: coordinates
+stored **in ascending packed-key order** inside a fixed-capacity buffer, plus
+a valid-row count.  Lookup is binary search (coords/lookup.py); "insertion"
+is out-of-place construction (coords/unique.py).  Immutability is what makes
+maps safe to bake into jitted feature programs and to shard across a device
+mesh.
+
+Capacities are power-of-two bucketed so the number of distinct compiled
+shapes stays logarithmic in problem size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import keys as K
+
+MIN_CAPACITY = 128
+
+
+def bucket_capacity(n: int, minimum: int = MIN_CAPACITY) -> int:
+    """Smallest power-of-two >= max(n, minimum)."""
+    n = max(int(n), minimum)
+    return 1 << (n - 1).bit_length()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CoordinateMap:
+    """Sorted, padded coordinate map.
+
+    Attributes:
+      coordinates: (C, D+1) int32, batch-first rows in ascending key order;
+        rows >= size are zero.
+      key_hi / key_lo: (C,) uint32 packed keys; padding rows hold the max key.
+      size: python int — number of valid rows (host-known; coordinate-phase
+        operations are host-driven, mirroring the reference's C++ manager).
+      tensor_stride: D-tuple of ints.
+    """
+
+    coordinates: jnp.ndarray
+    key_hi: jnp.ndarray
+    key_lo: jnp.ndarray
+    size: int
+    tensor_stride: Tuple[int, ...]
+
+    @property
+    def capacity(self) -> int:
+        return int(self.coordinates.shape[0])
+
+    @property
+    def dimension(self) -> int:
+        return int(self.coordinates.shape[1]) - 1
+
+    @property
+    def batch_indices(self) -> jnp.ndarray:
+        return self.coordinates[:, 0]
+
+    def valid_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity, dtype=jnp.int32) < self.size
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        return (
+            (self.coordinates, self.key_hi, self.key_lo),
+            (self.size, self.tensor_stride),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        coordinates, key_hi, key_lo = children
+        size, tensor_stride = aux
+        return cls(coordinates, key_hi, key_lo, size, tensor_stride)
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_sorted(
+        cls,
+        coordinates: jnp.ndarray,
+        key_hi: jnp.ndarray,
+        key_lo: jnp.ndarray,
+        size: int,
+        tensor_stride: Tuple[int, ...],
+        capacity: Optional[int] = None,
+    ) -> "CoordinateMap":
+        """Build from already-sorted padded arrays, re-bucketing capacity."""
+        cap = bucket_capacity(size) if capacity is None else capacity
+        cur = coordinates.shape[0]
+        if cap < cur:
+            coordinates = coordinates[:cap]
+            key_hi = key_hi[:cap]
+            key_lo = key_lo[:cap]
+        elif cap > cur:
+            pad_hi, pad_lo = K.key_max()
+            coordinates = jnp.concatenate(
+                [coordinates, jnp.zeros((cap - cur, coordinates.shape[1]), coordinates.dtype)]
+            )
+            key_hi = jnp.concatenate([key_hi, jnp.full((cap - cur,), pad_hi, jnp.uint32)])
+            key_lo = jnp.concatenate([key_lo, jnp.full((cap - cur,), pad_lo, jnp.uint32)])
+        return cls(coordinates, key_hi, key_lo, int(size), tuple(tensor_stride))
+
+    def to_numpy(self) -> np.ndarray:
+        """Valid coordinate rows as a host (size, D+1) array."""
+        return np.asarray(self.coordinates[: self.size])
+
+    def __repr__(self):
+        return (
+            f"CoordinateMap(size={self.size}, capacity={self.capacity}, "
+            f"D={self.dimension}, tensor_stride={self.tensor_stride})"
+        )

@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Tests run on a simulated 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the reference had no equivalent — its
+multi-GPU paths were untested examples only).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
