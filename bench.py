@@ -1,0 +1,193 @@
+"""Benchmark harness — reproduces the reference's headline workload.
+
+Reference baseline (BASELINE.md / docs/benchmark.md, Titan X, v0.4.3):
+single MinkowskiConvolution 3→32ch, kernel 3, stride 1, 3D, on ScanNet test
+rooms at 5cm voxels (≈26,098 points/sample): **0.093 s forward**.
+
+This harness synthesizes a ScanNet-room-sized cloud (26,098 unique voxels in
+a 100×100×50 grid ≈ 5m×5m×2.5m at 5cm), runs the same single-conv forward,
+and prints ONE JSON line with vs_baseline = speedup over 0.093 s.
+
+Extended metrics (conv e2e with cold coordinate maps, conv bwd, MinkUNet34
+fwd+bwd points/sec) are written to BENCH_DETAILS.json and stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_cloud(n_target=26098, grid=(100, 100, 50), batch=1, seed=0):
+    rng = np.random.RandomState(seed)
+    # sample until we have exactly n_target unique voxels
+    coords = np.unique(
+        np.concatenate(
+            [
+                rng.randint(0, batch, (n_target * 2, 1)),
+                rng.randint(0, grid[0], (n_target * 2, 1)),
+                rng.randint(0, grid[1], (n_target * 2, 1)),
+                rng.randint(0, grid[2], (n_target * 2, 1)),
+            ],
+            axis=1,
+        ).astype(np.int32),
+        axis=0,
+    )
+    coords = coords[:n_target]
+    feats = rng.randn(len(coords), 3).astype(np.float32)
+    return coords, feats
+
+
+def timeit(fn, warmup=3, iters=10):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.min(times)), float(np.mean(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    import minkowskiengine_tpu as ME
+
+    log(f"devices: {jax.devices()}")
+    coords, feats = make_cloud()
+    log(f"cloud: {len(coords)} voxels")
+
+    results = {}
+
+    # ---- headline: single conv 3->32 k=3 fwd, warm geometry -------------
+    x = ME.SparseTensor(feats, coords)
+    conv = ME.MinkowskiConvolution(3, 32, kernel_size=3, stride=1, dimension=3,
+                                   rngs=nnx.Rngs(0))
+    y = conv(x)  # warm: builds + caches coordinate/kernel maps, compiles
+    kmap = x.coordinate_manager.kernel_map(
+        x.coordinate_map_key, y.coordinate_map_key, kernel_size=3, stride=1
+    )
+    kernel = conv.kernel[...]
+    fpad = x.padded_features
+
+    from minkowskiengine_tpu.ops.functional import sparse_conv
+
+    conv_jit = jax.jit(
+        lambda f, w: sparse_conv(f, w, kmap.in_idx, kmap.out_idx_t)
+    )
+
+    def run_fwd():
+        conv_jit(fpad, kernel).block_until_ready()
+
+    t_min, t_mean = timeit(run_fwd)
+    results["single_conv_fwd_k3_warm_s"] = t_min
+    log(f"single conv fwd (warm maps): min {t_min*1e3:.3f} ms mean {t_mean*1e3:.3f} ms")
+
+    # ---- conv fwd+bwd ----------------------------------------------------
+    grad_fn = jax.jit(
+        jax.grad(
+            lambda f, w: jnp.sum(sparse_conv(f, w, kmap.in_idx, kmap.out_idx_t)),
+            argnums=(0, 1),
+        )
+    )
+
+    def run_bwd():
+        g = grad_fn(fpad, kernel)
+        jax.block_until_ready(g)
+
+    tb_min, _ = timeit(run_bwd)
+    results["single_conv_fwd_bwd_k3_warm_s"] = tb_min
+    log(f"single conv fwd+bwd (warm maps): min {tb_min*1e3:.3f} ms")
+
+    # ---- e2e including coordinate-map + kernel-map build (cold) ---------
+    def run_cold():
+        mgr = ME.CoordinateManager(D=3)
+        xt = ME.SparseTensor(feats, coords, coordinate_manager=mgr)
+        yt = conv(xt)
+        yt.padded_features.block_until_ready()
+
+    tc_min, _ = timeit(run_cold, warmup=2, iters=5)
+    results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
+    log(f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms")
+
+    # ---- kernel map build alone -----------------------------------------
+    def run_kmap():
+        mgr = ME.CoordinateManager(D=3)
+        key, _ = mgr.insert_and_map(coords)
+        okey = mgr.stride(key, 1)
+        km = mgr.kernel_map(key, okey, kernel_size=3, stride=1)
+        km.in_idx.block_until_ready()
+
+    tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
+    results["kernel_map_build_k3_s"] = tk_min
+    log(f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms")
+
+    # ---- MinkUNet34 fwd+bwd points/sec -----------------------------------
+    try:
+        import optax
+        from minkowskiengine_tpu.models import MinkUNet34
+
+        net = MinkUNet34(3, 20, D=3, rngs=nnx.Rngs(0))
+        _ = net(x)  # warm geometry + compile ops
+        labels = jnp.asarray(
+            np.random.RandomState(0).randint(0, 20, x.capacity)
+        )
+        n_valid = x.size
+        cap = x.capacity
+        mgr = x.coordinate_manager
+        key = x.coordinate_map_key
+
+        @nnx.jit
+        def step(model, f):
+            def loss_fn(m):
+                xt = ME.SparseTensor(
+                    f, coordinate_map_key=key, coordinate_manager=mgr
+                )
+                logits = m(xt).padded_features
+                mask = (jnp.arange(cap) < n_valid).astype(jnp.float32)
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                )
+                return jnp.sum(losses * mask) / jnp.sum(mask)
+
+            return nnx.value_and_grad(loss_fn)(model)
+
+        def run_unet():
+            loss, grads = step(net, fpad)
+            jax.block_until_ready((loss, jax.tree.leaves(grads)))
+
+        tu_min, tu_mean = timeit(run_unet, warmup=2, iters=5)
+        pps = len(coords) / tu_min
+        results["minkunet34_fwd_bwd_s"] = tu_min
+        results["minkunet34_points_per_sec"] = pps
+        log(f"MinkUNet34 fwd+bwd: min {tu_min*1e3:.1f} ms → {pps:,.0f} points/s")
+    except Exception as e:  # keep the headline metric alive regardless
+        log(f"MinkUNet34 bench failed: {e!r}")
+
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    baseline = 0.093  # Titan X single conv fwd k=3 (docs/benchmark.md:35)
+    headline = results["single_conv_fwd_k3_warm_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "single_conv3d_3to32_k3_fwd_26k_pts",
+                "value": headline,
+                "unit": "s",
+                "vs_baseline": baseline / headline,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,3 +20,16 @@ from .types import (
     SparseTensorQuantizationMode,
 )
 from .coords import CoordinateManager, CoordinateMap, CoordinateMapKey, KernelMap
+from .tensor import (
+    clear_global_coordinate_manager,
+    global_coordinate_manager,
+    set_global_coordinate_manager,
+    set_sparse_tensor_operation_mode,
+    sparse_tensor_operation_mode,
+)
+from .sparse_tensor import SparseTensor
+from .tensor_field import TensorField
+from .nn import *  # noqa: F401,F403 — the reference exports all modules flat
+from .nn import functional as MinkowskiFunctional
+from .nn.ops import _sum  # reference exports this name
+

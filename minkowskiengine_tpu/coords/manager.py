@@ -172,7 +172,9 @@ def _compact_rows(coords, hi, lo, keep, valid):
     out_hi = jnp.full((C,), pad_hi, jnp.uint32).at[tgt].set(hi, mode="drop")
     out_lo = jnp.full((C,), pad_lo, jnp.uint32).at[tgt].set(lo, mode="drop")
     in_to_out = jnp.where(keep, new_idx, -1)
-    return out_coords, out_hi, out_lo, n_kept, in_to_out
+    row = jnp.arange(C, dtype=jnp.int32)
+    out_from_in = jnp.full((C,), -1, jnp.int32).at[tgt].set(row, mode="drop")
+    return out_coords, out_hi, out_lo, n_kept, in_to_out, out_from_in
 
 
 @jax.jit
@@ -322,6 +324,33 @@ class CoordinateManager:
         self._maps[key.get_key()] = cmap
         return key, res.unique_map, res.inverse_map, n_unique
 
+    def insert_and_map_padded(
+        self,
+        coordinates,
+        tensor_stride=1,
+        string_id: str = "",
+    ):
+        """Like insert_and_map but returns padded maps + counts.
+
+        Returns (key, unique_map (C_in,), inverse_map (C_in,), n_in, n_unique)
+        where invalid unique_map slots hold C_in (gathers a zero row) and
+        invalid inverse slots hold -1.  Used by SparseTensor construction so
+        feature reduction stays fully padded/traceable.
+        """
+        ts = as_tuple(tensor_stride, self.D)
+        coords = jnp.asarray(coordinates, dtype=jnp.int32)
+        if coords.ndim != 2 or coords.shape[1] != self.D + 1:
+            raise ValueError(
+                f"coordinates must be (N, {self.D + 1}), got {coords.shape}"
+            )
+        n = int(coords.shape[0])
+        cap = bucket_capacity(n)
+        coords = _pad_rows(coords, cap)
+        key, unique_map, inverse_map, n_unique = self._register_unique(
+            coords, prefix_mask(cap, n), ts, string_id
+        )
+        return key, unique_map, inverse_map, n, n_unique
+
     def insert_and_map(
         self,
         coordinates,
@@ -335,17 +364,8 @@ class CoordinateManager:
         ``inverse_map`` are exact-size device arrays satisfying
         ``coords[unique_map][inverse_map] == coords``.
         """
-        ts = as_tuple(tensor_stride, self.D)
-        coords = jnp.asarray(coordinates, dtype=jnp.int32)
-        if coords.ndim != 2 or coords.shape[1] != self.D + 1:
-            raise ValueError(
-                f"coordinates must be (N, {self.D + 1}), got {coords.shape}"
-            )
-        n = int(coords.shape[0])
-        cap = bucket_capacity(n)
-        coords = _pad_rows(coords, cap)
-        key, unique_map, inverse_map, n_unique = self._register_unique(
-            coords, prefix_mask(cap, n), ts, string_id
+        key, unique_map, inverse_map, n, n_unique = self.insert_and_map_padded(
+            coordinates, tensor_stride, string_id
         )
         return key, (unique_map[:n_unique], inverse_map[:n])
 
@@ -412,10 +432,16 @@ class CoordinateManager:
         Reference: stride_region (src/coordinate_map_cpu.hpp:446-487,
         src/coordinate_map_manager.cpp:431-466).  Candidates are
         ``coords ⊕ offsets``; non-transpose keeps only candidates aligned to
-        the output tensor stride.
+        the output tensor stride.  When a map already exists at the output
+        tensor stride and ``expand_coordinates`` is False, that map is reused
+        — this is how transposed convolutions in a UNet land back on the
+        encoder's coordinates.
         """
-        in_map = self._get_map(key)
         out_ts = as_tuple(out_tensor_stride, self.D)
+        existing = (out_ts, string_id)
+        if existing in self._maps and not expand_coordinates:
+            return CoordinateMapKey(out_ts, string_id)
+        in_map = self._get_map(key)
         offsets = np.concatenate(
             [np.zeros((region.volume, 1), np.int32), region.offsets], axis=1
         )
@@ -473,23 +499,26 @@ class CoordinateManager:
     ) -> Tuple[CoordinateMapKey, jnp.ndarray]:
         """Pruned map from a boolean keep mask over valid rows.
 
-        Returns (new_key, in_to_out (C_in,) int32 row map with -1 for
-        dropped/padding rows).  Reference: prune
-        (src/coordinate_map_manager.cpp:552-576).
+        Returns (new_key, in_to_out, out_from_in):
+          in_to_out: (C_in,) int32 — new row per old row, -1 if dropped;
+          out_from_in: (C_in-capacity,) int32 — old row per new row (gather
+            map for the feature copy; only the first n_kept entries valid).
+        Reference: prune (src/coordinate_map_manager.cpp:552-576).
         """
         in_map = self._get_map(key)
         keep = jnp.asarray(keep, bool)
         keep = _pad_rows(keep, in_map.capacity, fill=False)
-        coords, hi, lo, n_kept, in_to_out = _compact_rows(
+        coords, hi, lo, n_kept, in_to_out, out_from_in = _compact_rows(
             in_map.coordinates, in_map.key_hi, in_map.key_lo, keep, in_map.valid_mask()
         )
         cmap = CoordinateMap.from_sorted(
             coords, hi, lo, int(n_kept), in_map.tensor_stride
         )
+        out_from_in = out_from_in[: cmap.capacity]
         sid = self._unique_string_id(in_map.tensor_stride, "pruned")
         new_key = CoordinateMapKey(in_map.tensor_stride, sid)
         self._maps[new_key.get_key()] = cmap
-        return new_key, in_to_out
+        return new_key, in_to_out, out_from_in
 
     def merge(self, keys: Sequence[CoordinateMapKey]) -> CoordinateMapKey:
         """Union of several maps' coordinates (same tensor stride).

@@ -1,0 +1,82 @@
+"""Neural-network modules over sparse tensors (flax.nnx backed)."""
+
+from .broadcast import (
+    MinkowskiBroadcast,
+    MinkowskiBroadcastAddition,
+    MinkowskiBroadcastConcatenation,
+    MinkowskiBroadcastMultiplication,
+)
+from .conv import (
+    MinkowskiChannelwiseConvolution,
+    MinkowskiConvolution,
+    MinkowskiConvolutionTranspose,
+    MinkowskiGenerativeConvolutionTranspose,
+)
+from .interpolation import MinkowskiInterpolation, MinkowskiInterpolationFunction
+from .module import MinkowskiModuleBase
+from .network import MinkowskiNetwork
+from .nonlinearity import (
+    MinkowskiAlphaDropout,
+    MinkowskiCELU,
+    MinkowskiDropout,
+    MinkowskiELU,
+    MinkowskiGELU,
+    MinkowskiHardshrink,
+    MinkowskiHardsigmoid,
+    MinkowskiHardswish,
+    MinkowskiHardtanh,
+    MinkowskiLeakyReLU,
+    MinkowskiLogSigmoid,
+    MinkowskiLogSoftmax,
+    MinkowskiPReLU,
+    MinkowskiReLU,
+    MinkowskiReLU6,
+    MinkowskiRReLU,
+    MinkowskiSELU,
+    MinkowskiSiLU,
+    MinkowskiSigmoid,
+    MinkowskiSinusoidal,
+    MinkowskiSoftmax,
+    MinkowskiSoftmin,
+    MinkowskiSoftplus,
+    MinkowskiSoftshrink,
+    MinkowskiSoftsign,
+    MinkowskiTanh,
+    MinkowskiTanhshrink,
+    MinkowskiThreshold,
+)
+from .norm import (
+    MinkowskiBatchNorm,
+    MinkowskiInstanceNorm,
+    MinkowskiStableInstanceNorm,
+    MinkowskiSyncBatchNorm,
+)
+from .ops import (
+    MinkowskiLinear,
+    MinkowskiStackCat,
+    MinkowskiStackMean,
+    MinkowskiStackSum,
+    MinkowskiStackVar,
+    MinkowskiToDenseTensor,
+    MinkowskiToFeature,
+    MinkowskiToSparseTensor,
+    cat,
+    dense_coordinates,
+    mean,
+    to_sparse,
+    to_sparse_all,
+    var,
+)
+from .pooling import (
+    MinkowskiAvgPooling,
+    MinkowskiDirectMaxPoolingFunction,
+    MinkowskiGlobalAvgPooling,
+    MinkowskiGlobalMaxPooling,
+    MinkowskiGlobalPooling,
+    MinkowskiGlobalSumPooling,
+    MinkowskiMaxPooling,
+    MinkowskiPoolingTranspose,
+    MinkowskiSumPooling,
+)
+from .pruning import MinkowskiPruning
+from .union import MinkowskiUnion

@@ -1,0 +1,304 @@
+"""Pure feature-phase primitives: the traceable compute core.
+
+Every function here is shape-static and differentiable; they consume the
+index arrays produced by the (cached, host-driven) coordinate phase.  This is
+the TPU re-expression of the reference's CUDA op kernels:
+
+* convolution — gather → GEMM → accumulate over kernel offsets, with a
+  custom VJP whose input-gradient is *also a pure gather* thanks to the
+  dense-matching kernel map (see coords/kernel_map.py).  Replaces the
+  reference's im2col+cuBLAS / fused atomic-scatter kernels
+  (src/convolution_kernel.cu:114-494).
+* pooling — masked reductions over kernel-map gathers; global pooling is a
+  segment reduction over batch (origin) ids.  Replaces
+  src/pooling_avg_kernel.cu (cuSPARSE SpMM) and src/pooling_max_kernel.cu.
+* broadcast / pruning / union / interpolation — gathers and segment ops;
+  their backward passes come from JAX autodiff (the reference hand-writes
+  each one: src/broadcast_kernel.cu, src/pruning_cpu.cpp, ...).
+
+Row convention: feature arrays are padded to the coordinate map's capacity;
+index -1 means "no pair" and gathers a zero row.  Padding rows are never
+*read* through valid indices; ops that reduce across rows mask them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..coords.kernel_map import KernelMap
+
+NEG_INF = -jnp.inf
+
+
+def take_rows(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows; any index < 0 or >= N yields a zero row.
+
+    Note: `jnp.take(mode="fill")` WRAPS negative indices before the bounds
+    check, so -1 must be remapped to an out-of-range positive index first.
+    """
+    safe = jnp.where(idx >= 0, idx, feats.shape[0])
+    return jnp.take(feats, safe, axis=0, mode="fill", fill_value=0)
+
+
+# ---------------------------------------------------------------------------
+# segment reductions (quantization, global pooling)
+# ---------------------------------------------------------------------------
+
+
+def segment_sum(feats, seg_ids, num_segments: int):
+    """Sum rows by segment id; ids < 0 are dropped."""
+    ids = jnp.where(seg_ids >= 0, seg_ids, num_segments)
+    out = jnp.zeros((num_segments + 1,) + feats.shape[1:], feats.dtype)
+    out = out.at[ids].add(feats, mode="drop")
+    return out[:num_segments]
+
+
+def segment_count(seg_ids, num_segments: int):
+    ids = jnp.where(seg_ids >= 0, seg_ids, num_segments)
+    out = jnp.zeros((num_segments + 1,), jnp.int32).at[ids].add(1, mode="drop")
+    return out[:num_segments]
+
+
+def segment_mean(feats, seg_ids, num_segments: int):
+    s = segment_sum(feats, seg_ids, num_segments)
+    c = segment_count(seg_ids, num_segments)
+    return s / jnp.maximum(c, 1).astype(s.dtype)[:, None]
+
+
+def segment_max(feats, seg_ids, num_segments: int):
+    """Max rows by segment id; empty segments yield 0 (reference behavior:
+    empty outputs stay zero-initialized)."""
+    ids = jnp.where(seg_ids >= 0, seg_ids, num_segments)
+    out = jnp.full((num_segments + 1,) + feats.shape[1:], NEG_INF, feats.dtype)
+    out = out.at[ids].max(feats, mode="drop")
+    out = out[:num_segments]
+    return jnp.where(jnp.isneginf(out), 0.0, out)
+
+
+# ---------------------------------------------------------------------------
+# convolution
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def sparse_conv(feats, kernel, in_idx, out_idx_t):
+    """Generalized sparse convolution.
+
+    Args:
+      feats: (C_in, ch_in) padded input features.
+      kernel: (K, ch_in, ch_out) weights (offset-major, matching the
+        reference layout, MinkowskiConvolution.py:262-285).
+      in_idx: (K, C_out) int32 forward gather map.
+      out_idx_t: (K, C_in) int32 transpose gather map (used by the VJP).
+
+    Returns:
+      (C_out, ch_out) output features; padding rows are zero.
+    """
+    return _conv_fwd(feats, kernel, in_idx)
+
+
+def _conv_fwd(feats, kernel, in_idx):
+    C_out = in_idx.shape[1]
+    ch_out = kernel.shape[-1]
+    acc0 = jnp.zeros((C_out, ch_out), feats.dtype)
+
+    def step(acc, xs):
+        idx_k, w_k = xs
+        g = take_rows(feats, idx_k)  # (C_out, ch_in)
+        return acc + jnp.dot(g, w_k, preferred_element_type=acc.dtype), None
+
+    acc, _ = jax.lax.scan(step, acc0, (in_idx, kernel))
+    return acc
+
+
+def _conv_vjp_fwd(feats, kernel, in_idx, out_idx_t):
+    out = _conv_fwd(feats, kernel, in_idx)
+    return out, (feats, kernel, in_idx, out_idx_t)
+
+
+def _conv_vjp_bwd(res, g):
+    feats, kernel, in_idx, out_idx_t = res
+    C_in = feats.shape[0]
+    ch_in = feats.shape[1]
+
+    # d_feats[i] = Σ_k g[out_idx_t[k, i]] @ W[k]ᵀ   — pure gather, no scatter.
+    def step_din(acc, xs):
+        t_idx_k, w_k = xs
+        go = take_rows(g, t_idx_k)  # (C_in, ch_out)
+        return acc + jnp.dot(go, w_k.T, preferred_element_type=acc.dtype), None
+
+    d_feats, _ = jax.lax.scan(
+        step_din, jnp.zeros((C_in, ch_in), feats.dtype), (out_idx_t, kernel)
+    )
+
+    # d_W[k] = gathered_inᵀ @ g (invalid rows gather zero and vanish).
+    def step_dw(_, idx_k):
+        gi = take_rows(feats, idx_k)  # (C_out, ch_in)
+        return None, jnp.dot(gi.T, g, preferred_element_type=feats.dtype)
+
+    _, d_kernel = jax.lax.scan(step_dw, None, in_idx)
+    return d_feats, d_kernel, None, None
+
+
+sparse_conv.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
+
+
+def sparse_conv_kmap(feats, kernel, kmap: KernelMap):
+    return sparse_conv(feats, kernel, kmap.in_idx, kmap.out_idx_t)
+
+
+def channelwise_conv(feats, kernel, in_idx):
+    """Depthwise conv: out[o] = Σ_k in[in_idx[k,o]] * kernel[k].
+
+    Reference: MinkowskiChannelwiseConvolution.py:142-191 (a pure-Python
+    per-offset multiply-accumulate there too).  kernel: (K, ch).
+    """
+    def step(acc, xs):
+        idx_k, w_k = xs
+        return acc + take_rows(feats, idx_k) * w_k[None, :], None
+
+    C_out = in_idx.shape[1]
+    acc, _ = jax.lax.scan(
+        step, jnp.zeros((C_out, feats.shape[1]), feats.dtype), (in_idx, kernel)
+    )
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# local pooling
+# ---------------------------------------------------------------------------
+
+
+def local_pool_sum(feats, in_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (pooled (C_out, ch), num_nonzero (C_out,))."""
+    def step(carry, idx_k):
+        acc, cnt = carry
+        acc = acc + take_rows(feats, idx_k)
+        cnt = cnt + (idx_k >= 0).astype(feats.dtype)
+        return (acc, cnt), None
+
+    C_out = in_idx.shape[1]
+    (acc, cnt), _ = jax.lax.scan(
+        step,
+        (
+            jnp.zeros((C_out, feats.shape[1]), feats.dtype),
+            jnp.zeros((C_out,), feats.dtype),
+        ),
+        in_idx,
+    )
+    return acc, cnt
+
+
+def local_pool_avg(feats, in_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    acc, cnt = local_pool_sum(feats, in_idx)
+    return acc / jnp.maximum(cnt, 1.0)[:, None], cnt
+
+
+def local_pool_max(feats, in_idx) -> jnp.ndarray:
+    """Max pooling; rows with no pairs yield 0.  The argmax flows through
+    autodiff (jnp.maximum's VJP), replacing the reference's stored max_index
+    mask (src/pooling_max_kernel.hpp:35-117)."""
+    def step(acc, idx_k):
+        g = take_rows(feats, idx_k)
+        g = jnp.where((idx_k >= 0)[:, None], g, NEG_INF)
+        return jnp.maximum(acc, g), None
+
+    C_out = in_idx.shape[1]
+    acc, _ = jax.lax.scan(
+        step, jnp.full((C_out, feats.shape[1]), NEG_INF, feats.dtype), in_idx
+    )
+    return jnp.where(jnp.isneginf(acc), 0.0, acc)
+
+
+# ---------------------------------------------------------------------------
+# global pooling / broadcast
+# ---------------------------------------------------------------------------
+
+
+def global_pool(feats, origin_rows, num_batches: int, mode: str):
+    """Pool every row of each batch into one row.
+
+    Args:
+      origin_rows: (C_in,) int32 batch-segment id per row (-1 padding).
+      num_batches: static segment capacity (origin map capacity).
+      mode: 'sum' | 'avg' | 'max'.
+
+    Returns:
+      (pooled (num_batches, ch), num_nonzero (num_batches,)).
+    Reference: src/global_pooling_cpu.cpp:44-227.
+    """
+    cnt = segment_count(origin_rows, num_batches)
+    if mode == "sum":
+        return segment_sum(feats, origin_rows, num_batches), cnt
+    if mode == "avg":
+        return segment_mean(feats, origin_rows, num_batches), cnt
+    if mode == "max":
+        return segment_max(feats, origin_rows, num_batches), cnt
+    raise ValueError(f"unknown mode {mode}")
+
+
+def broadcast(feats, glob, origin_rows, op: str):
+    """Combine per-batch global rows back onto every point.
+
+    Reference: src/broadcast_cpu.cpp:43-150 (hand-written backward there;
+    autodiff here — gather VJP handles it).
+    """
+    g = take_rows(glob, origin_rows)  # (C_in, ch)
+    if op == "add":
+        out = feats + g
+    elif op == "mul":
+        out = feats * g
+    else:
+        raise ValueError(f"unknown op {op}")
+    return jnp.where((origin_rows >= 0)[:, None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# pruning / union / interpolation
+# ---------------------------------------------------------------------------
+
+
+def prune_features(feats, out_from_in):
+    """Copy kept rows (gather by the pruning map).  Reference:
+    src/pruning_cpu.cpp:43-140."""
+    return take_rows(feats, out_from_in)
+
+
+def union_features(feats_list, out_from_in_list):
+    """Sum features of several tensors onto the union coordinates.
+
+    Each map is (C_union,) int32: the source row per union row (-1 absent).
+    Reference: MinkowskiUnion.py:33-83 (scatter-add there; pure gather-sum
+    here because per-tensor coordinate rows are unique).
+    """
+    acc = None
+    for feats, idx in zip(feats_list, out_from_in_list):
+        g = take_rows(feats, idx)
+        acc = g if acc is None else acc + g
+    return acc
+
+
+def interpolate_features(feats, neighbor_rows, weights):
+    """Multilinear interpolation: Σ_c w_c · feats[row_c].
+
+    Args:
+      neighbor_rows: (N, 2^D) int32, -1 for missing corners.
+      weights: (N, 2^D) float, zero where missing.
+    Reference: src/interpolation_kernel.hpp:40-124.
+    """
+    g = take_rows(feats, neighbor_rows)  # (N, 2^D, ch)
+    return jnp.einsum("nc,ncf->nf", weights.astype(g.dtype), g)
+
+
+def splat_features(field_feats, neighbor_rows, weights, num_rows: int):
+    """Transpose of interpolation: scatter-add weighted field features onto
+    sparse rows (TensorField.splat, MinkowskiTensorField.py:381-406)."""
+    w = weights.astype(field_feats.dtype)
+    contrib = field_feats[:, None, :] * w[:, :, None]  # (N, 2^D, ch)
+    flat_rows = neighbor_rows.reshape(-1)
+    flat = contrib.reshape(-1, field_feats.shape[-1])
+    return segment_sum(flat, flat_rows, num_rows)

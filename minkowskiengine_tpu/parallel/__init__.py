@@ -1,0 +1,9 @@
+"""Multi-chip parallelism utilities (mesh data parallelism, collectives)."""
+
+from .data_parallel import (
+    all_reduce_metrics,
+    make_data_parallel_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)

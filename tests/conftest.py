@@ -3,14 +3,24 @@
 Tests run on a simulated 8-device CPU mesh so multi-chip sharding paths are
 exercised without TPU hardware (the reference had no equivalent — its
 multi-GPU paths were untested examples only).
+
+NOTE: the axon TPU plugin ignores the JAX_PLATFORMS *env var*; only
+``jax.config.update("jax_platforms", ...)`` reliably overrides it, so we set
+both (the env var for subprocesses, the config for this process).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

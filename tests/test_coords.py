@@ -179,14 +179,17 @@ class TestManager:
         n = mgr.size(key)
         keep = np.zeros(n, bool)
         keep[::3] = True
-        new_key, in_to_out = mgr.prune(key, keep)
-        assert mgr.size(new_key) == int(keep.sum())
+        new_key, in_to_out, out_from_in = mgr.prune(key, keep)
+        n_kept = int(keep.sum())
+        assert mgr.size(new_key) == n_kept
         old = mgr.get_coordinate_map(key).to_numpy()
         new = mgr.get_coordinate_map(new_key).to_numpy()
         np.testing.assert_array_equal(new, old[keep])
         io = np.asarray(in_to_out)[:n]
         np.testing.assert_array_equal(old[keep], new[io[keep]])
         assert (io[~keep] == -1).all()
+        ofi = np.asarray(out_from_in)[:n_kept]
+        np.testing.assert_array_equal(old[ofi], new)
 
     def test_merge_and_union_map(self):
         mgr = CoordinateManager(D=2)

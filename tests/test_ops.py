@@ -1,0 +1,263 @@
+"""Pooling / broadcast / pruning / union / interpolation / norm tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minkowskiengine_tpu as ME
+
+from oracles import cube_offsets, pool_oracle
+
+
+def rand_tensor(n, d, ch, batch=2, lo=-8, hi=8, seed=0):
+    rng = np.random.RandomState(seed)
+    coords = np.unique(
+        np.concatenate(
+            [rng.randint(0, batch, (n, 1)), rng.randint(lo, hi, (n, d))], axis=1
+        ).astype(np.int32),
+        axis=0,
+    )
+    feats = rng.randn(len(coords), ch).astype(np.float32)
+    return coords, feats
+
+
+class TestLocalPooling:
+    @pytest.mark.parametrize("mode", ["avg", "max", "sum"])
+    def test_vs_oracle(self, mode):
+        coords, feats = rand_tensor(60, 2, 3, seed=1)
+        x = ME.SparseTensor(feats, coords)
+        cls = {
+            "avg": ME.MinkowskiAvgPooling,
+            "max": ME.MinkowskiMaxPooling,
+            "sum": ME.MinkowskiSumPooling,
+        }[mode]
+        pool = cls(kernel_size=3, stride=2, dimension=2)
+        y = pool(x)
+        offsets = cube_offsets(3, 1, 1, 2)
+        expected = pool_oracle(x.C, np.asarray(x.F), np.asarray(y.C), offsets, mode)
+        np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
+
+    def test_stride_equals_kernel_fast_path(self):
+        """stride == kernel_size pooling uses the stride-map fast path."""
+        coords, feats = rand_tensor(70, 2, 3, seed=2, lo=0, hi=8)
+        x = ME.SparseTensor(feats, coords)
+        pool = ME.MinkowskiAvgPooling(kernel_size=2, stride=2, dimension=2)
+        y = pool(x)
+        offsets = cube_offsets(2, 1, 1, 2)
+        expected = pool_oracle(x.C, np.asarray(x.F), np.asarray(y.C), offsets, "avg")
+        np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
+
+    def test_unpooling_roundtrip(self):
+        coords, feats = rand_tensor(50, 2, 3, seed=3)
+        x = ME.SparseTensor(feats, coords)
+        down = ME.MinkowskiMaxPooling(kernel_size=2, stride=2, dimension=2)
+        up = ME.MinkowskiPoolingTranspose(kernel_size=2, stride=2, dimension=2)
+        z = up(down(x))
+        assert z.tensor_stride == (1, 1)
+        np.testing.assert_array_equal(np.asarray(z.C), np.asarray(x.C))
+
+
+class TestGlobalOps:
+    def test_global_pooling(self):
+        coords, feats = rand_tensor(60, 2, 4, batch=3, seed=4)
+        x = ME.SparseTensor(feats, coords)
+        for cls, red in [
+            (ME.MinkowskiGlobalAvgPooling, "mean"),
+            (ME.MinkowskiGlobalSumPooling, "sum"),
+            (ME.MinkowskiGlobalMaxPooling, "max"),
+        ]:
+            y = cls()(x)
+            xc, xf = np.asarray(x.C), np.asarray(x.F)
+            for row, b in enumerate(np.unique(xc[:, 0])):
+                sel = xf[xc[:, 0] == b]
+                exp = {"mean": sel.mean(0), "sum": sel.sum(0), "max": sel.max(0)}[red]
+                np.testing.assert_allclose(
+                    np.asarray(y.F)[row], exp, rtol=1e-4, atol=1e-4
+                )
+
+    def test_broadcast(self):
+        coords, feats = rand_tensor(50, 2, 4, batch=3, seed=5)
+        x = ME.SparseTensor(feats, coords)
+        g = ME.MinkowskiGlobalAvgPooling()(x)
+        y = ME.MinkowskiBroadcastAddition()(x, g)
+        xc = np.asarray(x.C)
+        gf = np.asarray(g.F)
+        batches = list(np.unique(xc[:, 0]))
+        exp = np.asarray(x.F) + gf[[batches.index(b) for b in xc[:, 0]]]
+        np.testing.assert_allclose(np.asarray(y.F), exp, rtol=1e-4, atol=1e-4)
+
+        m = ME.MinkowskiBroadcastMultiplication()(x, g)
+        expm = np.asarray(x.F) * gf[[batches.index(b) for b in xc[:, 0]]]
+        np.testing.assert_allclose(np.asarray(m.F), expm, rtol=1e-4, atol=1e-4)
+
+    def test_broadcast_concat(self):
+        coords, feats = rand_tensor(30, 2, 4, batch=2, seed=6)
+        x = ME.SparseTensor(feats, coords)
+        g = ME.MinkowskiGlobalMaxPooling()(x)
+        y = ME.MinkowskiBroadcastConcatenation()(x, g)
+        assert y.shape == (x.size, 8)
+
+
+class TestPruneUnion:
+    def test_pruning(self):
+        coords, feats = rand_tensor(50, 2, 3, seed=7)
+        x = ME.SparseTensor(feats, coords)
+        keep = np.asarray(x.F)[:, 0] > 0
+        y = ME.MinkowskiPruning()(x, keep)
+        np.testing.assert_array_equal(np.asarray(y.C), np.asarray(x.C)[keep])
+        np.testing.assert_allclose(np.asarray(y.F), np.asarray(x.F)[keep])
+
+    def test_pruning_gradient(self):
+        coords, feats = rand_tensor(30, 2, 3, seed=8)
+        x = ME.SparseTensor(feats, coords)
+        keep = np.zeros(x.size, bool)
+        keep[::2] = True
+        prune = ME.MinkowskiPruning()
+
+        def loss(f_pad):
+            xt = ME.SparseTensor(
+                f_pad,
+                coordinate_map_key=x.coordinate_map_key,
+                coordinate_manager=x.coordinate_manager,
+            )
+            return jnp.sum(prune(xt, keep).padded_features ** 2)
+
+        g = jax.grad(loss)(x.padded_features)
+        gn = np.asarray(g)[: x.size]
+        exp = 2 * np.asarray(x.F)
+        exp[~keep] = 0
+        np.testing.assert_allclose(gn, exp, rtol=1e-4, atol=1e-5)
+
+    def test_union(self):
+        mgr = ME.CoordinateManager(D=2)
+        c1 = np.array([[0, 0, 0], [0, 1, 0]], np.int32)
+        c2 = np.array([[0, 0, 0], [0, 2, 2]], np.int32)
+        a = ME.SparseTensor(np.ones((2, 2), np.float32), c1, coordinate_manager=mgr)
+        b = ME.SparseTensor(
+            2 * np.ones((2, 2), np.float32), c2, coordinate_manager=mgr
+        )
+        u = ME.MinkowskiUnion()(a, b)
+        got = {tuple(c): f[0] for c, f in zip(np.asarray(u.C), np.asarray(u.F))}
+        assert got == {(0, 0, 0): 3.0, (0, 1, 0): 1.0, (0, 2, 2): 2.0}
+
+    def test_mixed_coordinate_arithmetic(self):
+        mgr = ME.CoordinateManager(D=2)
+        c1 = np.array([[0, 0, 0], [0, 1, 0]], np.int32)
+        c2 = np.array([[0, 0, 0], [0, 2, 2]], np.int32)
+        a = ME.SparseTensor(np.ones((2, 2), np.float32), c1, coordinate_manager=mgr)
+        b = ME.SparseTensor(
+            2 * np.ones((2, 2), np.float32), c2, coordinate_manager=mgr
+        )
+        s = a + b
+        got = {tuple(c): f[0] for c, f in zip(np.asarray(s.C), np.asarray(s.F))}
+        assert got == {(0, 0, 0): 3.0, (0, 1, 0): 1.0, (0, 2, 2): 2.0}
+
+
+class TestInterpolation:
+    def test_exact_on_grid(self):
+        coords = np.array([[0, 0, 0], [0, 1, 0], [0, 0, 1], [0, 1, 1]], np.int32)
+        feats = np.array([[1.0], [2.0], [3.0], [4.0]], np.float32)
+        x = ME.SparseTensor(feats, coords)
+        interp = ME.MinkowskiInterpolation()
+        # sample exactly at a lattice point
+        out = interp(x, np.array([[0, 1.0, 0.0]], np.float32))
+        np.testing.assert_allclose(np.asarray(out)[0, 0], 2.0, rtol=1e-5)
+        # bilinear midpoint
+        out = interp(x, np.array([[0, 0.5, 0.5]], np.float32))
+        np.testing.assert_allclose(np.asarray(out)[0, 0], 2.5, rtol=1e-5)
+        # partially outside: missing corners contribute zero
+        out = interp(x, np.array([[0, 1.5, 0.0]], np.float32))
+        np.testing.assert_allclose(np.asarray(out)[0, 0], 1.0, rtol=1e-5)
+
+
+class TestNorms:
+    def test_batch_norm_stats(self):
+        coords, feats = rand_tensor(80, 2, 4, seed=9)
+        x = ME.SparseTensor(feats, coords)
+        bn = ME.MinkowskiBatchNorm(4)
+        y = bn(x)
+        f = np.asarray(y.F)
+        np.testing.assert_allclose(f.mean(0), 0.0, atol=1e-5)
+        np.testing.assert_allclose(f.std(0), 1.0, atol=1e-2)
+        # running stats moved toward batch stats
+        rm = np.asarray(bn.running_mean[...])
+        xf = np.asarray(x.F)
+        np.testing.assert_allclose(rm, 0.1 * xf.mean(0), rtol=1e-4, atol=1e-5)
+
+    def test_batch_norm_eval_mode(self):
+        coords, feats = rand_tensor(40, 2, 4, seed=10)
+        x = ME.SparseTensor(feats, coords)
+        bn = ME.MinkowskiBatchNorm(4).eval()
+        y = bn(x)  # running stats are identity at init
+        np.testing.assert_allclose(
+            np.asarray(y.F), np.asarray(x.F) / np.sqrt(1 + bn.eps), rtol=1e-4
+        )
+
+    def test_instance_norm(self):
+        coords, feats = rand_tensor(80, 2, 4, batch=3, seed=11)
+        x = ME.SparseTensor(feats, coords)
+        inorm = ME.MinkowskiInstanceNorm(4)
+        y = inorm(x)
+        xc = np.asarray(x.C)
+        f = np.asarray(y.F)
+        for b in np.unique(xc[:, 0]):
+            sel = f[xc[:, 0] == b]
+            np.testing.assert_allclose(sel.mean(0), 0.0, atol=1e-4)
+
+
+class TestTensorOps:
+    def test_cat_sum_mean_var(self):
+        coords, feats = rand_tensor(30, 2, 3, seed=12)
+        x = ME.SparseTensor(feats, coords)
+        y = x * 2.0
+        c = ME.cat(x, y)
+        assert c.shape == (x.size, 6)
+        s = ME._sum(x, y)
+        np.testing.assert_allclose(np.asarray(s.F), 3 * np.asarray(x.F), rtol=1e-5)
+        m = ME.mean(x, y)
+        np.testing.assert_allclose(np.asarray(m.F), 1.5 * np.asarray(x.F), rtol=1e-5)
+        v = ME.var(x, y)
+        np.testing.assert_allclose(
+            np.asarray(v.F), 0.25 * np.asarray(x.F) ** 2, rtol=1e-4, atol=1e-5
+        )
+
+    def test_dense_roundtrip(self):
+        coords, feats = rand_tensor(40, 2, 3, lo=0, hi=6, seed=13)
+        x = ME.SparseTensor(feats, coords)
+        dense, min_c, ts = x.dense()
+        back = ME.to_sparse(np.asarray(dense))
+        got = {
+            tuple(c): tuple(np.round(f, 4))
+            for c, f in zip(np.asarray(back.C), np.asarray(back.F))
+        }
+        exp = {
+            tuple(c): tuple(np.round(f, 4))
+            for c, f in zip(np.asarray(x.C), np.asarray(x.F))
+        }
+        assert got == exp
+
+    def test_quantization_modes(self):
+        coords = np.array([[0, 0, 0], [0, 0, 0], [0, 1, 1]], np.int32)
+        feats = np.array([[1.0], [3.0], [5.0]], np.float32)
+        Q = ME.SparseTensorQuantizationMode
+        avg = ME.SparseTensor(feats, coords, quantization_mode=Q.UNWEIGHTED_AVERAGE)
+        np.testing.assert_allclose(np.asarray(avg.F).ravel(), [2.0, 5.0])
+        ssum = ME.SparseTensor(feats, coords, quantization_mode=Q.UNWEIGHTED_SUM)
+        np.testing.assert_allclose(np.asarray(ssum.F).ravel(), [4.0, 5.0])
+        mx = ME.SparseTensor(feats, coords, quantization_mode=Q.MAX_POOL)
+        np.testing.assert_allclose(np.asarray(mx.F).ravel(), [3.0, 5.0])
+        sub = ME.SparseTensor(feats, coords, quantization_mode=Q.RANDOM_SUBSAMPLE)
+        np.testing.assert_allclose(np.asarray(sub.F).ravel(), [1.0, 5.0])
+
+    def test_decomposition(self):
+        coords, feats = rand_tensor(50, 2, 3, batch=4, seed=14)
+        x = ME.SparseTensor(feats, coords)
+        dc, df = x.decomposed_coordinates_and_features
+        xc = np.asarray(x.C)
+        assert len(dc) == len(np.unique(xc[:, 0]))
+        n_total = sum(len(c) for c in dc)
+        assert n_total == x.size
+        for b, (c, f) in enumerate(zip(dc, df)):
+            assert (np.asarray(c) == xc[xc[:, 0] == b][:, 1:]).all()
