@@ -45,12 +45,22 @@ from .map import CoordinateMap
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class KernelMap:
-    """Dense per-offset matching between an input and an output map."""
+    """Dense per-offset matching between an input and an output map.
+
+    ``fwd_slab`` / ``bwd_slab`` are the tile-slab decompositions consumed by
+    the fused Pallas conv kernel (ops/pallas/conv_kernel.py); they exist for
+    maps built by ``build_kernel_map`` (whose per-offset indices are
+    strictly monotone — a consequence of canonical key ordering plus
+    constant-offset probes) and are None for stride-map-derived pooling
+    maps (striding does not preserve lexicographic order).
+    """
 
     in_idx: jnp.ndarray  # (K, C_out) int32, -1 = no pair
     out_idx_t: jnp.ndarray  # (K, C_in) int32, -1 = no pair
     n_in: int
     n_out: int
+    fwd_slab: object = None  # SlabMap over in_idx
+    bwd_slab: object = None  # SlabMap over out_idx_t
 
     @property
     def kernel_volume(self) -> int:
@@ -66,7 +76,14 @@ class KernelMap:
 
     def swap(self) -> "KernelMap":
         """The transposed map (out↔in roles flipped)."""
-        return KernelMap(self.out_idx_t, self.in_idx, self.n_out, self.n_in)
+        return KernelMap(
+            self.out_idx_t,
+            self.in_idx,
+            self.n_out,
+            self.n_in,
+            self.bwd_slab,
+            self.fwd_slab,
+        )
 
     def pair_counts(self) -> np.ndarray:
         """(K,) host array of valid pair counts per offset (diagnostic)."""
@@ -84,25 +101,50 @@ class KernelMap:
         return out
 
     def tree_flatten(self):
-        return ((self.in_idx, self.out_idx_t), (self.n_in, self.n_out))
+        return (
+            (self.in_idx, self.out_idx_t, self.fwd_slab, self.bwd_slab),
+            (self.n_in, self.n_out),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        in_idx, out_idx_t = children
+        in_idx, out_idx_t, fwd_slab, bwd_slab = children
         n_in, n_out = aux
-        return cls(in_idx, out_idx_t, n_in, n_out)
+        return cls(in_idx, out_idx_t, n_in, n_out, fwd_slab, bwd_slab)
 
 
 @jax.jit
-def _build_in_idx(in_hi, in_lo, n_in, out_coords, n_out, offsets):
-    """in_idx[k, o] = row of (out_coords[o] + offsets[k]) in the in-map, or -1."""
+def _build_queries(in_hi, in_lo, out_coords, n_out, offsets):
+    """Packed probe keys (K, C_out), invalid probes set to the max key.
+
+    Probe keys are ascending along each row (output coordinates are in
+    canonical key order and an offset adds a constant), which both the
+    sorted-join lookup and the slab conv kernel rely on.
+    """
     C_out = out_coords.shape[0]
     queries = out_coords[None, :, :] + offsets[:, None, :]  # (K, C_out, D+1)
     q_hi, q_lo = K.pack(queries)
-    rows = find_rows(in_hi, in_lo, n_in, q_hi, q_lo)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < n_out)[None, :]
-    overflow = K.overflow_mask(queries)
-    return jnp.where(valid_out & ~overflow, rows, -1)
+    invalid = ~valid_out | K.overflow_mask(queries)
+    pad_hi, pad_lo = K.key_max()
+    return jnp.where(invalid, pad_hi, q_hi), jnp.where(invalid, pad_lo, q_lo)
+
+
+def _build_in_idx(in_hi, in_lo, n_in, out_coords, n_out, offsets):
+    """in_idx[k, o] = row of (out_coords[o] + offsets[k]) in the in-map, or -1.
+
+    Invalid probes carry the max key; a max-key probe can only match a real
+    max-key row (possible only at a full 64-bit budget), and such rows are
+    re-masked by the caller's valid_out anyway via the key_max sentinel
+    producing found=False in practice.
+    """
+    from .lookup import find_rows_sorted
+
+    q_hi, q_lo = _build_queries(in_hi, in_lo, out_coords, n_out, offsets)
+    rows = find_rows_sorted(in_hi, in_lo, n_in, q_hi, q_lo)
+    C_out = out_coords.shape[0]
+    valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
+    return jnp.where(valid_out, rows, -1)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -149,7 +191,13 @@ def build_kernel_map(
         jnp.asarray(offsets),
     )
     out_idx_t = _invert_matching(in_idx, in_map.capacity)
-    return KernelMap(in_idx, out_idx_t, in_map.size, out_map.size)
+    from ..ops.pallas.conv_kernel import build_slab_map
+
+    fwd_slab = build_slab_map(in_idx, in_map.capacity)
+    bwd_slab = build_slab_map(out_idx_t, out_map.capacity)
+    return KernelMap(
+        in_idx, out_idx_t, in_map.size, out_map.size, fwd_slab, bwd_slab
+    )
 
 
 @jax.jit

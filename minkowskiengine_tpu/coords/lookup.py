@@ -13,6 +13,7 @@ maps, interpolation neighbor lookup, and field→sparse maps.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -53,6 +54,104 @@ def find_rows(map_hi, map_lo, n_map, q_hi, q_lo):
     f_lo = jnp.take(map_lo, lo_idx, mode="clip")
     found = (lo_idx < n_map) & K.key_equal(f_hi, f_lo, q_hi, q_lo)
     return jnp.where(found, lo_idx, -1)
+
+
+_JOIN_TILE = 256
+_MAX_JOIN_SLAB = 8192
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab):
+    """Join sorted queries against the sorted map via per-tile slabs.
+
+    q_hi/q_lo: (B, Q) with each row sorted ascending (invalid queries hold
+    the max key and sort last).  For each tile of TILE queries, all matches
+    lie in the contiguous map window [lb(tile_first), lb(next_tile_first))
+    — both sides sorted — so one boundary binary search per tile plus a
+    (TILE, slab) equality compare performs TILE lookups at VPU speed
+    instead of TILE·log(N) dependent gathers.
+    """
+    TILE = _JOIN_TILE
+    B, Q = q_hi.shape
+    nt = Q // TILE
+    qh = q_hi.reshape(B, nt, TILE)
+    ql = q_lo.reshape(B, nt, TILE)
+    starts = find_lower_bound(map_hi, map_lo, qh[:, :, 0], ql[:, :, 0])
+    C = map_hi.shape[0]
+    starts = jnp.clip(starts, 0, max(C - slab, 0))
+
+    def one_batch(args):
+        qh_b, ql_b, st_b = args
+
+        def one_tile(qh_t, ql_t, st):
+            sl_hi = jax.lax.dynamic_slice(map_hi, (st,), (slab,))
+            sl_lo = jax.lax.dynamic_slice(map_lo, (st,), (slab,))
+            eq = (qh_t[:, None] == sl_hi[None, :]) & (
+                ql_t[:, None] == sl_lo[None, :]
+            )
+            found = jnp.any(eq, axis=1)
+            pos = jnp.argmax(eq, axis=1).astype(jnp.int32) + st
+            return jnp.where(found & (pos < n_map), pos, -1)
+
+        return jax.vmap(one_tile)(qh_b, ql_b, st_b)
+
+    rows = jax.lax.map(one_batch, (qh, ql, starts))
+    return rows.reshape(B, Q)
+
+
+@jax.jit
+def find_lower_bound(map_hi, map_lo, q_hi, q_lo):
+    """First index whose key is >= the query key (binary search)."""
+    C = map_hi.shape[0]
+    steps = max(1, math.ceil(math.log2(C + 1)))
+    lo_idx = jnp.zeros(q_hi.shape, dtype=jnp.int32)
+    hi_idx = jnp.full(q_hi.shape, C, dtype=jnp.int32)
+
+    def body(_, state):
+        lo_i, hi_i = state
+        mid = (lo_i + hi_i) >> 1
+        m_hi = jnp.take(map_hi, mid, mode="clip")
+        m_lo = jnp.take(map_lo, mid, mode="clip")
+        less = K.key_less(m_hi, m_lo, q_hi, q_lo)
+        return jnp.where(less, mid + 1, lo_i), jnp.where(less, hi_i, mid)
+
+    lo_idx, _ = jax.lax.fori_loop(0, steps, body, (lo_idx, hi_idx))
+    return lo_idx
+
+
+def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo):
+    """``find_rows`` for per-row-sorted query batches (B, Q).
+
+    Used by the kernel-map builder: per-offset probe keys are sorted because
+    output coordinates are canonically ordered and an offset adds a constant
+    (invalid probes must hold the max key so they sort last).  Exactness:
+    every match for tile t lies in [lb(first_t), lb(first_{t+1})) since
+    queries are strictly increasing; the slab size is the max of those
+    consecutive-lower-bound spans (one host sync, amortized by the manager's
+    kernel-map cache).  Falls back to plain binary search when tiling does
+    not apply or the required slab is too large.
+    """
+    TILE = _JOIN_TILE
+    B, Q = q_hi.shape
+    C = map_hi.shape[0]
+    if Q % TILE != 0 or C < TILE:
+        return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
+    nt = Q // TILE
+    qh = q_hi.reshape(B, nt, TILE)
+    ql = q_lo.reshape(B, nt, TILE)
+    lbs = find_lower_bound(map_hi, map_lo, qh[:, :, 0], ql[:, :, 0])
+    lb_next = jnp.concatenate(
+        [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
+    )
+    span = int(jnp.max(lb_next - lbs))
+    slab = min(max(_round_up_8(span), 8), C)
+    if slab > _MAX_JOIN_SLAB:
+        return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
+    return _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
+
+
+def _round_up_8(x: int) -> int:
+    return ((x + 7) // 8) * 8
 
 
 @jax.jit

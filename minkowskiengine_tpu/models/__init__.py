@@ -18,6 +18,11 @@ from .minkunet import (
     MinkUNet101,
     MinkUNetBase,
 )
+from .classification import (
+    MinkowskiFCNN,
+    MinkowskiPointNet,
+    MinkowskiSplatFCNN,
+)
 from .resnet import (
     ResNet14,
     ResNet18,

@@ -58,10 +58,14 @@ class MinkowskiLinear(MinkowskiModuleBase):
         )
 
 
+def _tensor_key(t):
+    return getattr(t, "coordinate_map_key", None) or t.coordinate_field_map_key
+
+
 def _check_same_key(*tensors):
-    key = tensors[0].coordinate_map_key
+    key = _tensor_key(tensors[0])
     for t in tensors[1:]:
-        if t.coordinate_map_key != key:
+        if _tensor_key(t) != key:
             raise ValueError(
                 "All inputs must share the same coordinate_map_key; use "
                 "MinkowskiUnion for mixed-coordinate combination"

@@ -147,7 +147,58 @@ def _conv_vjp_bwd(res, g):
 sparse_conv.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
 
 
+# --- fused Pallas path (TPU): slab-DMA + one-hot MXU gather ----------------
+
+
+@jax.custom_vjp
+def sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab):
+    from .pallas.conv_kernel import sparse_conv_fwd_pallas
+
+    return sparse_conv_fwd_pallas(feats, kernel, fwd_slab)
+
+
+def _conv_pallas_fwd(feats, kernel, fwd_slab, bwd_slab):
+    from .pallas.conv_kernel import sparse_conv_fwd_pallas
+
+    out = sparse_conv_fwd_pallas(feats, kernel, fwd_slab)
+    return out, (feats, kernel, fwd_slab, bwd_slab)
+
+
+def _conv_pallas_bwd(res, g):
+    from .pallas.conv_kernel import (
+        sparse_conv_dw_pallas,
+        sparse_conv_fwd_pallas,
+    )
+
+    feats, kernel, fwd_slab, bwd_slab = res
+    # d_in[i] = Σ_k g[out_idx_t[k, i]] @ W[k]ᵀ — the forward kernel run on
+    # the transposed matching with transposed weights.
+    d_feats = sparse_conv_fwd_pallas(
+        g, jnp.swapaxes(kernel, 1, 2), bwd_slab
+    )
+    d_kernel = sparse_conv_dw_pallas(feats, g, fwd_slab, kernel.shape)
+    return d_feats, d_kernel, None, None
+
+
+sparse_conv_pallas.defvjp(_conv_pallas_fwd, _conv_pallas_bwd)
+
+
+def use_pallas_conv(kmap: KernelMap, feats, kernel) -> bool:
+    from .pallas.conv_kernel import pallas_conv_supported
+
+    return (
+        kmap.fwd_slab is not None
+        and kmap.bwd_slab is not None
+        and jax.default_backend() == "tpu"
+        and feats.dtype in (jnp.float32, jnp.bfloat16)
+        and pallas_conv_supported(kmap.fwd_slab, kernel.shape)
+        and pallas_conv_supported(kmap.bwd_slab, kernel.shape)
+    )
+
+
 def sparse_conv_kmap(feats, kernel, kmap: KernelMap):
+    if use_pallas_conv(kmap, feats, kernel):
+        return sparse_conv_pallas(feats, kernel, kmap.fwd_slab, kmap.bwd_slab)
     return sparse_conv(feats, kernel, kmap.in_idx, kmap.out_idx_t)
 
 
