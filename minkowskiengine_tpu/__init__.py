@@ -32,4 +32,14 @@ from .tensor_field import TensorField
 from .nn import *  # noqa: F401,F403 — the reference exports all modules flat
 from .nn import functional as MinkowskiFunctional
 from .nn.ops import _sum  # reference exports this name
+from . import utils
+from .sparse_matrix_functions import (
+    MinkowskiSPMMAverageFunction,
+    MinkowskiSPMMFunction,
+    spmm,
+    spmm_average,
+)
+from .diagnostics import print_diagnostics
+from . import models
+from . import parallel
 

@@ -18,6 +18,8 @@ from .minkunet import (
     MinkUNet101,
     MinkUNetBase,
 )
+from .completion import CompletionNet
+from .vae import VAE, Decoder as VAEDecoder, Encoder as VAEEncoder
 from .classification import (
     MinkowskiFCNN,
     MinkowskiPointNet,

@@ -51,9 +51,16 @@ def quantize(coords: np.ndarray):
 
     Matches the reference contract (src/quantization.cpp:57-139):
     ``coords[unique_map][inverse_map] == coords``; unique rows are in
-    first-occurrence order.
+    first-occurrence order.  Uses the native C++ host engine when available
+    (open-addressing hash, minkowskiengine_tpu/cpp), numpy otherwise.
     """
     coords = np.ascontiguousarray(coords)
+    if coords.dtype == np.int32 or np.can_cast(coords.dtype, np.int32):
+        from .. import cpp as hostengine
+
+        native = hostengine.quantize_i32(coords.astype(np.int32, copy=False))
+        if native is not None:
+            return native
     _, unique_map, inverse_map = np.unique(
         coords, axis=0, return_index=True, return_inverse=True
     )
@@ -70,6 +77,15 @@ def quantize_label(coords: np.ndarray, labels: np.ndarray, ignore_label: int):
     """(unique_map, inverse_map, quantized labels): coordinates appearing with
     conflicting labels get ``ignore_label``
     (reference: src/quantization.cpp:141-260)."""
+    coords = np.ascontiguousarray(coords)
+    if coords.dtype == np.int32 or np.can_cast(coords.dtype, np.int32):
+        from .. import cpp as hostengine
+
+        native = hostengine.quantize_label_i32(
+            coords.astype(np.int32, copy=False), labels, ignore_label
+        )
+        if native is not None:
+            return native
     unique_map, inverse_map = quantize(coords)
     labels = np.asarray(labels)
     out_labels = labels[unique_map].copy()

@@ -1,0 +1,199 @@
+"""Parity tests mirroring the rest of the reference suite: kernel maps,
+strided convs, 4D spatio-temporal, hybrid regions, utilities."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from flax import nnx
+
+import minkowskiengine_tpu as ME
+from minkowskiengine_tpu.kernel_generator import KernelGenerator, hybrid_offsets
+from minkowskiengine_tpu.utils import (
+    batched_coordinates,
+    get_coords_map,
+    sparse_collate,
+    sparse_quantize,
+    summary,
+)
+
+from oracles import conv_oracle, cube_offsets
+
+
+def rand_tensor(n, d, ch, batch=2, lo=-8, hi=8, seed=0):
+    rng = np.random.RandomState(seed)
+    coords = np.unique(
+        np.concatenate(
+            [rng.randint(0, batch, (n, 1)), rng.randint(lo, hi, (n, d))], axis=1
+        ).astype(np.int32),
+        axis=0,
+    )
+    feats = rng.randn(len(coords), ch).astype(np.float32)
+    return coords, feats
+
+
+class TestKernelMapParity:
+    def test_pair_lists_match_bruteforce(self):
+        mgr = ME.CoordinateManager(D=2)
+        coords, _ = rand_tensor(50, 2, 1, seed=5)
+        key, _ = mgr.insert_and_map(coords)
+        skey = mgr.stride(key, 2)
+        km = mgr.kernel_map(key, skey, kernel_size=3, stride=2)
+        pairs = km.to_pair_lists()
+
+        in_c = np.asarray(mgr.get_coordinates(key))
+        out_c = np.asarray(mgr.get_coordinates(skey))
+        table = {tuple(c): i for i, c in enumerate(in_c)}
+        offsets = cube_offsets(3, 1, 1, 2)
+        for k in range(9):
+            expected = []
+            for j, u in enumerate(out_c):
+                probe = (u[0],) + tuple(u[1:] + offsets[k])
+                if probe in table:
+                    expected.append((table[probe], j))
+            got = (
+                sorted(zip(pairs[k][0].tolist(), pairs[k][1].tolist()))
+                if k in pairs
+                else []
+            )
+            assert got == sorted(expected), f"offset {k}"
+
+    def test_transpose_map_is_swapped_forward(self):
+        mgr = ME.CoordinateManager(D=2)
+        coords, _ = rand_tensor(40, 2, 1, seed=6)
+        key, _ = mgr.insert_and_map(coords)
+        skey = mgr.stride(key, 2)
+        fwd = mgr.kernel_map(key, skey, kernel_size=2, stride=2)
+        # transposed request between swapped keys must reuse the cache
+        bwd = mgr.kernel_map(skey, key, kernel_size=2, stride=2, is_transpose=True)
+        np.testing.assert_array_equal(np.asarray(fwd.in_idx), np.asarray(bwd.out_idx_t))
+        np.testing.assert_array_equal(np.asarray(fwd.out_idx_t), np.asarray(bwd.in_idx))
+
+    def test_monotone_invariant(self):
+        """Per-offset gather indices are strictly monotone (the slab kernel
+        and sorted-join both rely on this)."""
+        mgr = ME.CoordinateManager(D=3)
+        coords, _ = rand_tensor(200, 3, 1, seed=7)
+        key, _ = mgr.insert_and_map(coords)
+        km = mgr.kernel_map(key, key, kernel_size=3, stride=1)
+        in_idx = np.asarray(km.in_idx)
+        for k in range(in_idx.shape[0]):
+            v = in_idx[k][in_idx[k] >= 0]
+            assert (np.diff(v) > 0).all()
+
+
+class Test4D:
+    def test_spatiotemporal_conv(self):
+        """4D (x, y, z, t) convolution — the reference's headline capability
+        (4D spatio-temporal ConvNets)."""
+        coords, feats = rand_tensor(80, 4, 3, lo=-4, hi=4, seed=8)
+        x = ME.SparseTensor(feats, coords)
+        conv = ME.MinkowskiConvolution(3, 6, kernel_size=3, dimension=4)
+        y = conv(x)
+        W = np.asarray(conv.kernel[...])
+        offsets = cube_offsets(3, 1, 1, 4)
+        expected = conv_oracle(x.C, np.asarray(x.F), np.asarray(y.C), W, offsets)
+        np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
+
+    def test_4d_stride_and_pool(self):
+        coords, feats = rand_tensor(100, 4, 2, lo=0, hi=8, seed=9)
+        x = ME.SparseTensor(feats, coords)
+        pool = ME.MinkowskiMaxPooling(kernel_size=2, stride=2, dimension=4)
+        y = pool(x)
+        assert y.tensor_stride == (2, 2, 2, 2)
+
+
+class TestHybridRegion:
+    def test_hybrid_offsets_shape(self):
+        offs = hybrid_offsets(
+            (3, 3, 3), (1, 1, 1), (1, 1, 1),
+            (ME.RegionType.HYPER_CUBE, ME.RegionType.HYPER_CUBE,
+             ME.RegionType.HYPER_CROSS),
+        )
+        # cube product over 2 axes (9) + cross arms on axis 2 (2) = 11
+        assert offs.shape == (11, 3)
+        assert (offs[0] == 0).all()
+
+    def test_custom_region_conv(self):
+        coords, feats = rand_tensor(40, 2, 3, seed=10)
+        x = ME.SparseTensor(feats, coords)
+        custom = np.array([[0, 0], [1, 0], [0, 1]], np.int32)
+        kg = KernelGenerator(
+            kernel_size=3, region_type=ME.RegionType.CUSTOM,
+            region_offsets=custom, dimension=2,
+        )
+        conv = ME.MinkowskiConvolution(3, 4, kernel_generator=kg, dimension=2)
+        y = conv(x)
+        W = np.asarray(conv.kernel[...])
+        expected = conv_oracle(x.C, np.asarray(x.F), np.asarray(y.C), W, custom)
+        np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
+
+
+class TestUtilities:
+    def test_sparse_quantize_contract(self):
+        rng = np.random.RandomState(0)
+        pts = rng.rand(500, 3) * 4
+        disc, idx, inv = sparse_quantize(
+            pts, return_index=True, return_inverse=True, quantization_size=0.5
+        )
+        full = np.floor(pts / 0.5).astype(np.int32)
+        np.testing.assert_array_equal(full[idx], disc)
+        np.testing.assert_array_equal(disc[inv], full)
+
+    def test_quantize_label_conflicts(self):
+        coords = np.array([[0, 0], [0, 0], [1, 1]], np.int32)
+        labels = np.array([1, 2, 3], np.int32)
+        from minkowskiengine_tpu.utils import quantize_label
+
+        um, inv, lab = quantize_label(coords, labels, ignore_label=-100)
+        assert len(um) == 2
+        got = {tuple(coords[u]): l for u, l in zip(um, lab)}
+        assert got[(0, 0)] == -100 and got[(1, 1)] == 3
+
+    def test_collation(self):
+        c1 = np.random.rand(10, 3) * 5
+        c2 = np.random.rand(7, 3) * 5
+        f1, f2 = np.random.rand(10, 2), np.random.rand(7, 2)
+        coords, feats = sparse_collate([c1, c2], [f1, f2])
+        assert coords.shape == (17, 4)
+        assert (coords[:10, 0] == 0).all() and (coords[10:, 0] == 1).all()
+        bc = batched_coordinates([c1, c2])
+        np.testing.assert_array_equal(bc, coords)
+
+    def test_get_coords_map(self):
+        coords, feats = rand_tensor(60, 2, 3, seed=11)
+        x = ME.SparseTensor(feats, coords)
+        conv = ME.MinkowskiConvolution(3, 4, kernel_size=2, stride=2, dimension=2)
+        y = conv(x)
+        xi, yi = get_coords_map(x, y)
+        xc, yc = np.asarray(x.C), np.asarray(y.C)
+        np.testing.assert_array_equal(
+            np.concatenate([xc[xi][:, :1], (xc[xi][:, 1:] // 2) * 2], 1),
+            yc[yi],
+        )
+
+    def test_summary(self):
+        net = ME.MinkowskiConvolution(3, 8, kernel_size=3, dimension=2)
+        text = summary(net)
+        assert "total parameters" in text
+
+    def test_spmm_function_parity(self):
+        rows = jnp.array([0, 1, 1])
+        cols = jnp.array([0, 0, 1])
+        vals = jnp.array([2.0, 1.0, 3.0])
+        mat = jnp.asarray(np.arange(4.0).reshape(2, 2))
+        out = ME.MinkowskiSPMMFunction.apply(rows, cols, vals, (2, 2), mat)
+        np.testing.assert_allclose(
+            np.asarray(out), [[0, 2], [0 + 6, 1 + 9]], atol=1e-6
+        )
+
+
+class TestDirectMaxPool:
+    def test_direct_max_pool(self):
+        from minkowskiengine_tpu.nn.pooling import direct_max_pool
+
+        in_feat = jnp.asarray(np.array([[1.0], [5.0], [3.0], [2.0]]))
+        in_map = jnp.array([0, 1, 2, 3])
+        out_map = jnp.array([0, 0, 1, 1])
+        out = direct_max_pool(in_map, out_map, in_feat, 2)
+        np.testing.assert_allclose(np.asarray(out).ravel(), [5.0, 3.0])
