@@ -191,10 +191,21 @@ def build_kernel_map(
         jnp.asarray(offsets),
     )
     out_idx_t = _invert_matching(in_idx, in_map.capacity)
-    from ..ops.pallas.conv_kernel import build_slab_map
+    from ..ops.pallas.conv_kernel import (
+        build_slab_map_from_span,
+        measure_spans,
+        slab_tile,
+    )
 
-    fwd_slab = build_slab_map(in_idx, in_map.capacity)
-    bwd_slab = build_slab_map(out_idx_t, out_map.capacity)
+    # one fused host sync for both slab spans (tile divides each map's OWN
+    # row dimension: in_idx is (K, C_out), out_idx_t is (K, C_in))
+    fwd_span_dev = measure_spans(in_idx, slab_tile(in_idx.shape[1]))
+    bwd_span_dev = measure_spans(out_idx_t, slab_tile(out_idx_t.shape[1]))
+    fwd_span, bwd_span = jax.device_get((fwd_span_dev, bwd_span_dev))
+    fwd_slab = build_slab_map_from_span(in_idx, in_map.capacity, int(fwd_span))
+    bwd_slab = build_slab_map_from_span(
+        out_idx_t, out_map.capacity, int(bwd_span)
+    )
     return KernelMap(
         in_idx, out_idx_t, in_map.size, out_map.size, fwd_slab, bwd_slab
     )

@@ -143,15 +143,13 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo):
     lb_next = jnp.concatenate(
         [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
     )
+    # quantize to 256 so the join's compiled shapes stay stable across
+    # similar geometries (compile-cache friendliness)
     span = int(jnp.max(lb_next - lbs))
-    slab = min(max(_round_up_8(span), 8), C)
+    slab = min(max(((span + 255) // 256) * 256, 256), C)
     if slab > _MAX_JOIN_SLAB:
         return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
     return _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
-
-
-def _round_up_8(x: int) -> int:
-    return ((x + 7) // 8) * 8
 
 
 @jax.jit

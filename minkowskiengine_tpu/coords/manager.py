@@ -310,7 +310,10 @@ class CoordinateManager:
         Returns (key, padded unique_map, padded inverse_map, n_unique).
         """
         res, u_coords, overflow = unique_coordinates(coords, valid)
-        n_unique = int(res.n_unique)
+        # one host sync for both scalars (each isolated sync costs ~30 ms
+        # through the TPU tunnel once pallas kernels have run)
+        n_unique, overflow = jax.device_get((res.n_unique, overflow))
+        n_unique = int(n_unique)
         if bool(overflow):
             raise ValueError(
                 "Coordinate out of packed-key range for dimension "

@@ -114,37 +114,62 @@ def _slab_metadata(in_idx, cap_in, tile, slab_size):
     return start.astype(jnp.int32), jnp.transpose(local, (1, 0, 2))
 
 
-def build_slab_map(
-    in_idx: jnp.ndarray, capacity_in: int, tile: int = DEFAULT_TILE
-) -> Optional[SlabMap]:
-    """Build the slab decomposition for a (K, C_out) dense gather map.
+def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
+    return min(tile, capacity)
 
-    Runs in the cached coordinate phase (host syncs allowed).  Returns None
-    when the map cannot be tiled (C_out not divisible by the tile).
-    """
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def measure_spans(in_idx: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """Max per-(offset, tile) index span — device scalar (no sync here so
+    callers can fuse several measurements into one host round trip)."""
     K, Co = in_idx.shape
-    tile = min(tile, Co)
-    if Co % tile != 0:
-        return None
-    # measure the true max span on device, sync once
     idx = in_idx.reshape(K, -1, tile)
     valid = idx >= 0
     big = jnp.where(valid, idx, jnp.int32(2**30))
     small = jnp.where(valid, idx, jnp.int32(-1))
-    span = jnp.max(
+    return jnp.max(
         jnp.where(
             jnp.any(valid, -1),
             jnp.max(small, -1) - jnp.min(big, -1) + 1,
             0,
         )
     )
-    max_span = int(span)
-    # +15 covers the downward 16-alignment of slab starts
-    slab = _round_up(max(max_span + 15, 16), 16)
+
+
+def build_slab_map_from_span(
+    in_idx: jnp.ndarray,
+    capacity_in: int,
+    max_span: int,
+    tile: int = DEFAULT_TILE,
+) -> Optional[SlabMap]:
+    """Slab decomposition given a host-known max span."""
+    K, Co = in_idx.shape
+    tile = min(tile, Co)
+    if Co % tile != 0:
+        return None
+    # +15 covers the downward 16-alignment of slab starts; quantize to 128
+    # so slab sizes (→ kernel shapes → compile cache keys) are stable across
+    # similar geometries
+    slab = _round_up(max(max_span + 15, 16), 128)
     if slab > capacity_in:
         slab = capacity_in
     starts, local_tk = _slab_metadata(in_idx, capacity_in, tile, slab)
     return SlabMap(starts, local_tk, slab, tile, capacity_in)
+
+
+def build_slab_map(
+    in_idx: jnp.ndarray, capacity_in: int, tile: int = DEFAULT_TILE
+) -> Optional[SlabMap]:
+    """Build the slab decomposition for a (K, C_out) dense gather map.
+
+    Runs in the cached coordinate phase (one host sync for the span).
+    Returns None when the map cannot be tiled.
+    """
+    K, Co = in_idx.shape
+    if Co % min(tile, Co) != 0:
+        return None
+    span = int(measure_spans(in_idx, slab_tile(capacity_in, tile)))
+    return build_slab_map_from_span(in_idx, capacity_in, span, tile)
 
 
 def _onehot_gather(local_row, slab, slab_size, dtype):
