@@ -200,6 +200,40 @@ def main():
         results["minkunet34_fwd_bwd_s"] = tu_min
         results["minkunet34_points_per_sec"] = pps
         log(f"MinkUNet34 fwd+bwd: min {tu_min*1e3:.1f} ms → {pps:,.0f} points/s")
+
+        # mixed precision (bf16 activations, f32 master weights + BN stats)
+        ME.set_compute_dtype(jnp.bfloat16)
+        try:
+            # a fresh nnx.jit closure traces with the new compute dtype
+            @nnx.jit
+            def step_bf16(model, f):
+                def loss_fn(m):
+                    xt = ME.SparseTensor(
+                        f, coordinate_map_key=key, coordinate_manager=mgr
+                    )
+                    logits = m(xt).padded_features.astype(jnp.float32)
+                    mask = (jnp.arange(cap) < n_valid).astype(jnp.float32)
+                    losses = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, labels
+                    )
+                    return jnp.sum(losses * mask) / jnp.sum(mask)
+
+                return nnx.value_and_grad(loss_fn)(model)
+
+            def run_unet_bf16():
+                outs = [step_bf16(net, fpad) for _ in range(UREPS)]
+                jax.block_until_ready(jax.tree.leaves(outs))
+
+            tb16, _ = timeit(run_unet_bf16, warmup=2, iters=5)
+            tb16 = tb16 / UREPS
+            results["minkunet34_fwd_bwd_bf16_s"] = tb16
+            results["minkunet34_points_per_sec_bf16"] = len(coords) / tb16
+            log(
+                f"MinkUNet34 fwd+bwd bf16: min {tb16*1e3:.1f} ms → "
+                f"{len(coords)/tb16:,.0f} points/s"
+            )
+        finally:
+            ME.set_compute_dtype(None)
     except Exception as e:  # keep the headline metric alive regardless
         log(f"MinkUNet34 bench failed: {e!r}")
 

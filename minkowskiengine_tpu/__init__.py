@@ -20,6 +20,11 @@ from .types import (
     SparseTensorQuantizationMode,
 )
 from .coords import CoordinateManager, CoordinateMap, CoordinateMapKey, KernelMap
+from .coords.manager import (
+    set_coordinate_map_type,
+    set_gpu_allocator,
+    set_memory_manager_backend,
+)
 from .tensor import (
     clear_global_coordinate_manager,
     global_coordinate_manager,
@@ -40,6 +45,7 @@ from .sparse_matrix_functions import (
     spmm_average,
 )
 from .diagnostics import print_diagnostics
+from .config import compute_dtype, set_compute_dtype
 from . import models
 from . import parallel
 

@@ -46,6 +46,20 @@ from .map import CoordinateMap, bucket_capacity
 from .unique import prefix_mask, unique_coordinates, unique_from_keys
 
 
+def set_gpu_allocator(backend) -> None:
+    """API-compat no-op (reference: MinkowskiCoordinateManager.py:46-72) —
+    XLA owns device memory on TPU."""
+
+
+def set_memory_manager_backend(backend) -> None:
+    """API-compat no-op (alias of set_gpu_allocator)."""
+
+
+def set_coordinate_map_type(map_type) -> None:
+    """API-compat no-op (reference: MinkowskiCoordinateManager.py:75-97) —
+    there is a single TPU coordinate-map implementation."""
+
+
 class CoordinateMapKey:
     """Handle identifying a coordinate map inside a manager.
 

@@ -196,8 +196,15 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
                 f"input channels {input._F.shape[1]} != {self.in_channels}"
             )
 
+        from ..config import compute_dtype
+
+        feats = input.padded_features
+        cdt = compute_dtype()
+        if cdt is not None and feats.dtype != cdt:
+            feats = feats.astype(cdt)
+
         if self.use_mm and coordinates is None:
-            outfeat = input.padded_features @ self.kernel[...]
+            outfeat = feats @ self.kernel[...].astype(feats.dtype)
             out_key = input.coordinate_map_key
         else:
             out_key = _resolve_out_key(input, coordinates)
@@ -213,9 +220,9 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             kernel = self.kernel[...]
             if kernel.ndim == 2:  # use_mm weights but explicit out coords
                 kernel = kernel[None]
-            outfeat = F.sparse_conv_kmap(input.padded_features, kernel, kmap)
+            outfeat = F.sparse_conv_kmap(feats, kernel.astype(feats.dtype), kmap)
         if self.bias is not None:
-            outfeat = outfeat + self.bias[...]
+            outfeat = outfeat + self.bias[...].astype(outfeat.dtype)
         return SparseTensor(
             outfeat,
             coordinate_map_key=out_key,

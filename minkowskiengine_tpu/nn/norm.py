@@ -81,6 +81,8 @@ class MinkowskiBatchNorm(MinkowskiModuleBase):
         return mean, var, count
 
     def _apply(self, feats: jnp.ndarray, n_valid: int) -> jnp.ndarray:
+        in_dtype = feats.dtype
+        feats = feats.astype(jnp.float32)  # f32 statistics under bf16 compute
         mask = jnp.arange(feats.shape[0]) < n_valid
         if self.training or not self.track_running_stats:
             mean, var, count = self._stats(feats, mask)
@@ -98,7 +100,7 @@ class MinkowskiBatchNorm(MinkowskiModuleBase):
         out = (feats - mean[None, :]) * jax.lax.rsqrt(var[None, :] + self.eps)
         if self.affine:
             out = out * self.weight[...] + self.bias[...]
-        return jnp.where(mask[:, None], out, 0.0)
+        return jnp.where(mask[:, None], out, 0.0).astype(in_dtype)
 
     def __call__(self, input):
         out = self._apply(input.padded_features, input.size)

@@ -43,9 +43,10 @@ class MinkowskiLinear(MinkowskiModuleBase):
         )
 
     def __call__(self, input):
-        out = input.padded_features @ self.weight[...]
+        feats = input.padded_features
+        out = feats @ self.weight[...].astype(feats.dtype)
         if self.bias is not None:
-            out = out + self.bias[...]
+            out = out + self.bias[...].astype(out.dtype)
             n = input.size
             mask = jnp.arange(out.shape[0]) < n
             out = jnp.where(mask[:, None], out, 0.0)
