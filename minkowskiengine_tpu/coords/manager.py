@@ -683,6 +683,11 @@ class CoordinateManager:
         """Public stride map: (C_in,) int32 output row per input row."""
         return self._stride_map_array(in_key, out_key)
 
+    def kernel_map_dict(self, *args, **kwargs):
+        """Reference-format kernel map: {offset: (in_rows, out_rows)} host
+        dict (reference ``kernel_map_th``, coordinate_map_manager.cpp:1358)."""
+        return self.kernel_map(*args, **kwargs).to_pair_lists()
+
     def origin_map(
         self, key: CoordinateMapKey
     ) -> Tuple[CoordinateMapKey, jnp.ndarray]:
@@ -812,6 +817,16 @@ class CoordinateManager:
             jnp.asarray(corners),
         )
         return rows[:n], weights[:n]
+
+    def dense_plan(self, key: CoordinateMapKey):
+        """Cached dense-bbox scatter/gather plan for a map (stride-1 dense
+        conv dispatch, ops/dense_conv.py).  None if the map is empty."""
+        ck = ("dense_plan", key.get_key())
+        if ck not in self._interp_cache:
+            from ..ops.dense_conv import build_dense_plan
+
+            self._interp_cache[ck] = build_dense_plan(self._get_map(key))
+        return self._interp_cache[ck]
 
     def clear(self):
         self._maps.clear()

@@ -160,6 +160,33 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             else None
         )
 
+    def _dense_dispatch(self, input, coordinates, feats) -> bool:
+        """Use the dense-grid path when it's the cheaper stride-1 strategy
+        (ops/dense_conv.py).  ConvolutionMode.COPY_GEMM forces sparse."""
+        from ..config import compute_dtype  # noqa: F401 (keeps import local)
+        from ..ops.dense_conv import dense_conv_beneficial
+        from ..types import ConvolutionMode
+
+        kg = self.kernel_generator
+        if (
+            coordinates is not None
+            or self.is_transpose
+            or self.expand_coordinates
+            or not kg.requires_strided_coordinates  # stride != 1
+            or kg.region_type != RegionType.HYPER_CUBE
+            or jax.default_backend() != "tpu"
+            or self.convolution_mode == ConvolutionMode.COPY_GEMM
+        ):
+            return False
+        plan = input.coordinate_manager.dense_plan(input.coordinate_map_key)
+        return dense_conv_beneficial(
+            plan,
+            input.capacity,
+            kg.kernel_volume,
+            self.in_channels,
+            self.out_channels,
+        )
+
     def _kernel_map(self, input: SparseTensor, out_key: CoordinateMapKey):
         kg = self.kernel_generator
         region = kg.get_kernel(
@@ -206,6 +233,19 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
         if self.use_mm and coordinates is None:
             outfeat = feats @ self.kernel[...].astype(feats.dtype)
             out_key = input.coordinate_map_key
+        elif self._dense_dispatch(input, coordinates, feats):
+            kg = self.kernel_generator
+            plan = input.coordinate_manager.dense_plan(input.coordinate_map_key)
+            from ..ops.dense_conv import dense_conv
+
+            outfeat = dense_conv(
+                feats,
+                self.kernel[...].astype(feats.dtype),
+                plan,
+                kg.kernel_size,
+                kg.kernel_dilation,
+            )
+            out_key = input.coordinate_map_key
         else:
             out_key = _resolve_out_key(input, coordinates)
             if out_key is None:
@@ -236,6 +276,70 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             f"out={self.out_channels}, kernel_size={kg.kernel_size}, "
             f"stride={kg.kernel_stride}, dilation={kg.kernel_dilation})"
         )
+
+
+class MinkowskiConvolutionFunction:
+    """Functional shim mirroring the reference autograd Function
+    (MinkowskiConvolution.py:42-121) for code that calls ``.apply`` directly."""
+
+    @staticmethod
+    def apply(
+        input_features,
+        kernel_weights,
+        kernel_generator: KernelGenerator,
+        convolution_mode,
+        in_coordinate_map_key: CoordinateMapKey,
+        out_coordinate_map_key: CoordinateMapKey,
+        coordinate_manager: CoordinateManager,
+    ):
+        region = kernel_generator.get_kernel(
+            in_coordinate_map_key.get_tensor_stride(), False
+        )
+        custom = (
+            region.offsets if region.region_type == RegionType.CUSTOM else None
+        )
+        kmap = coordinate_manager.kernel_map(
+            in_coordinate_map_key,
+            out_coordinate_map_key,
+            stride=kernel_generator.kernel_stride,
+            kernel_size=kernel_generator.kernel_size,
+            dilation=kernel_generator.kernel_dilation,
+            region_type=region.region_type,
+            region_offsets=custom,
+        )
+        return F.sparse_conv_kmap(input_features, kernel_weights, kmap)
+
+
+class MinkowskiConvolutionTransposeFunction:
+    """Transpose counterpart (MinkowskiConvolution.py:124-201)."""
+
+    @staticmethod
+    def apply(
+        input_features,
+        kernel_weights,
+        kernel_generator: KernelGenerator,
+        convolution_mode,
+        in_coordinate_map_key: CoordinateMapKey,
+        out_coordinate_map_key: CoordinateMapKey,
+        coordinate_manager: CoordinateManager,
+    ):
+        region = kernel_generator.get_kernel(
+            in_coordinate_map_key.get_tensor_stride(), True
+        )
+        custom = (
+            region.offsets if region.region_type == RegionType.CUSTOM else None
+        )
+        kmap = coordinate_manager.kernel_map(
+            in_coordinate_map_key,
+            out_coordinate_map_key,
+            stride=kernel_generator.kernel_stride,
+            kernel_size=kernel_generator.kernel_size,
+            dilation=kernel_generator.kernel_dilation,
+            region_type=region.region_type,
+            region_offsets=custom,
+            is_transpose=True,
+        )
+        return F.sparse_conv_kmap(input_features, kernel_weights, kmap)
 
 
 class MinkowskiConvolution(MinkowskiConvolutionBase):

@@ -11,4 +11,6 @@ from .quantization import (
     ravel_hash_vec,
     sparse_quantize,
 )
+from .checkpoint import load_checkpoint, save_checkpoint
+from .profiling import Timer, named_scope, timer, trace
 from .summary import summary
