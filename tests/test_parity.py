@@ -197,3 +197,26 @@ class TestDirectMaxPool:
         out_map = jnp.array([0, 0, 1, 1])
         out = direct_max_pool(in_map, out_map, in_feat, 2)
         np.testing.assert_allclose(np.asarray(out).ravel(), [5.0, 3.0])
+
+
+class Test4DMinkUNet:
+    def test_minkunet_4d_spatiotemporal(self):
+        """4D spatio-temporal MinkUNet — the reference's headline use case
+        (4D Spatio-Temporal ConvNets, CVPR'19)."""
+        from minkowskiengine_tpu.models import MinkUNet14A
+
+        rng = np.random.RandomState(42)
+        coords = np.unique(
+            np.concatenate(
+                [rng.randint(0, 2, (150, 1)), rng.randint(0, 8, (150, 4))],
+                axis=1,
+            ).astype(np.int32),
+            axis=0,
+        )
+        feats = rng.randn(len(coords), 2).astype(np.float32)
+        x = ME.SparseTensor(feats, coords)
+        net = MinkUNet14A(2, 4, D=4, rngs=nnx.Rngs(0))
+        out = net(x)
+        assert out.tensor_stride == (1, 1, 1, 1)
+        np.testing.assert_array_equal(np.asarray(out.C), np.asarray(x.C))
+        assert np.isfinite(np.asarray(out.F)).all()
