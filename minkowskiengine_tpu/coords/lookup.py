@@ -143,10 +143,15 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo):
     lb_next = jnp.concatenate(
         [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
     )
-    # quantize to 256 so the join's compiled shapes stay stable across
-    # similar geometries (compile-cache friendliness)
+    # shape stability: one recompile costs seconds through the TPU tunnel,
+    # so prefer a fixed 2×TILE slab and quantize larger spans coarsely
     span = int(jnp.max(lb_next - lbs))
-    slab = min(max(((span + 255) // 256) * 256, 256), C)
+    needed = max(span, 1)
+    if needed <= 2 * TILE:
+        slab = 2 * TILE
+    else:
+        slab = ((needed + 1023) // 1024) * 1024
+    slab = min(slab, C)
     if slab > _MAX_JOIN_SLAB:
         return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
     return _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)

@@ -19,6 +19,7 @@ model zoo.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -86,6 +87,9 @@ def build_dense_plan(coordinate_map) -> Optional[DensePlan]:
     if (maxs < mins).any():  # empty map
         return None
     extents = np.maximum((maxs[1:] - mins[1:]) // ts + 1, 1)
+    # round extents up to multiples of 16: stable conv shapes across
+    # geometry jitter (each new dense shape is an XLA recompile)
+    extents = ((extents + 15) // 16) * 16
     batches = int(maxs[0] - mins[0] + 1)
     grid_shape = (batches,) + tuple(int(e) for e in extents)
     flat = _flat_indices(
@@ -118,6 +122,7 @@ def dense_conv_beneficial(
     return dense_us < 0.8 * sparse_us
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def dense_conv(
     feats: jnp.ndarray,  # (C, Cin) padded map-aligned features
     weights: jnp.ndarray,  # (K, Cin, Cout), offsets dim-0-fastest
@@ -125,7 +130,10 @@ def dense_conv(
     kernel_size: Tuple[int, ...],
     dilation: Tuple[int, ...],
 ) -> jnp.ndarray:
-    """Stride-1 sparse conv evaluated on the dense bbox grid."""
+    """Stride-1 sparse conv evaluated on the dense bbox grid.
+
+    jitted (static kernel shape) so eager module calls hit the trace cache.
+    """
     B = plan.grid_shape[0]
     spatial = plan.grid_shape[1:]
     D = len(spatial)

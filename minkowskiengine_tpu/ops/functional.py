@@ -183,6 +183,14 @@ def _conv_pallas_bwd(res, g):
 sparse_conv_pallas.defvjp(_conv_pallas_fwd, _conv_pallas_bwd)
 
 
+# Jitted wrappers for eager-mode module calls: without them each eager
+# invocation re-traces (and for pallas, re-lowers the Mosaic kernel —
+# measured ~350 ms per eager conv call); the jit cache makes repeat eager
+# calls O(dispatch).  Under an outer jit these inline transparently.
+_sparse_conv_jit = jax.jit(sparse_conv)
+_sparse_conv_pallas_jit = jax.jit(sparse_conv_pallas)
+
+
 def use_pallas_conv(kmap: KernelMap, feats, kernel) -> bool:
     from .pallas.conv_kernel import pallas_conv_supported
 
@@ -198,10 +206,13 @@ def use_pallas_conv(kmap: KernelMap, feats, kernel) -> bool:
 
 def sparse_conv_kmap(feats, kernel, kmap: KernelMap):
     if use_pallas_conv(kmap, feats, kernel):
-        return sparse_conv_pallas(feats, kernel, kmap.fwd_slab, kmap.bwd_slab)
-    return sparse_conv(feats, kernel, kmap.in_idx, kmap.out_idx_t)
+        return _sparse_conv_pallas_jit(
+            feats, kernel, kmap.fwd_slab, kmap.bwd_slab
+        )
+    return _sparse_conv_jit(feats, kernel, kmap.in_idx, kmap.out_idx_t)
 
 
+@jax.jit
 def channelwise_conv(feats, kernel, in_idx):
     """Depthwise conv: out[o] = Σ_k in[in_idx[k,o]] * kernel[k].
 
@@ -224,6 +235,7 @@ def channelwise_conv(feats, kernel, in_idx):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def local_pool_sum(feats, in_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (pooled (C_out, ch), num_nonzero (C_out,))."""
     def step(carry, idx_k):
@@ -244,11 +256,13 @@ def local_pool_sum(feats, in_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return acc, cnt
 
 
+@jax.jit
 def local_pool_avg(feats, in_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
     acc, cnt = local_pool_sum(feats, in_idx)
     return acc / jnp.maximum(cnt, 1.0)[:, None], cnt
 
 
+@jax.jit
 def local_pool_max(feats, in_idx) -> jnp.ndarray:
     """Max pooling; rows with no pairs yield 0.  The argmax flows through
     autodiff (jnp.maximum's VJP), replacing the reference's stored max_index
@@ -270,6 +284,7 @@ def local_pool_max(feats, in_idx) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def global_pool(feats, origin_rows, num_batches: int, mode: str):
     """Pool every row of each batch into one row.
 
@@ -292,6 +307,7 @@ def global_pool(feats, origin_rows, num_batches: int, mode: str):
     raise ValueError(f"unknown mode {mode}")
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
 def broadcast(feats, glob, origin_rows, op: str):
     """Combine per-batch global rows back onto every point.
 

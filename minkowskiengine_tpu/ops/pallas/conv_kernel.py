@@ -147,10 +147,19 @@ def build_slab_map_from_span(
     tile = min(tile, Co)
     if Co % tile != 0:
         return None
-    # +15 covers the downward 16-alignment of slab starts; quantize to 128
-    # so slab sizes (→ kernel shapes → compile cache keys) are stable across
-    # similar geometries
-    slab = _round_up(max(max_span + 15, 16), 128)
+    # Shape stability vs DMA slack: a new slab size is a new kernel shape
+    # and a multi-second AOT recompile through the TPU tunnel, but slack is
+    # wasted bandwidth.  Quantize to a short ladder of sizes (fractions of
+    # the tile) — geometry jitter rarely crosses a rung.
+    needed = max_span + 15
+    slab = None
+    for mult in (1.25, 1.5, 2.0, 3.0, 4.0):
+        cand = _round_up(int(tile * mult), 16)
+        if needed <= cand:
+            slab = cand
+            break
+    if slab is None:
+        slab = _round_up(needed, tile)
     if slab > capacity_in:
         slab = capacity_in
     starts, local_tk = _slab_metadata(in_idx, capacity_in, tile, slab)
