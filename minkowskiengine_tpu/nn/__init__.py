@@ -9,7 +9,9 @@ from .broadcast import (
 from .conv import (
     MinkowskiChannelwiseConvolution,
     MinkowskiConvolution,
+    MinkowskiConvolutionFunction,
     MinkowskiConvolutionTranspose,
+    MinkowskiConvolutionTransposeFunction,
     MinkowskiGenerativeConvolutionTranspose,
 )
 from .interpolation import MinkowskiInterpolation, MinkowskiInterpolationFunction
