@@ -323,10 +323,13 @@ class CoordinateManager:
 
         Returns (key, padded unique_map, padded inverse_map, n_unique).
         """
-        res, u_coords, overflow = unique_coordinates(coords, valid)
-        # one host sync for both scalars (each isolated sync costs ~30 ms
-        # through the TPU tunnel once pallas kernels have run)
-        n_unique, overflow = jax.device_get((res.n_unique, overflow))
+        res, u_coords, overflow, bbox = unique_coordinates(coords, valid)
+        # one host sync for everything (each isolated sync costs ~30 ms
+        # through the TPU tunnel once pallas kernels have run); the bbox
+        # is stashed for dense_plan so it never needs its own sync
+        n_unique, overflow, bbox_h = jax.device_get(
+            (res.n_unique, overflow, bbox)
+        )
         n_unique = int(n_unique)
         if bool(overflow):
             raise ValueError(
@@ -339,6 +342,7 @@ class CoordinateManager:
         )
         key = CoordinateMapKey(tensor_stride, sid)
         self._maps[key.get_key()] = cmap
+        self._interp_cache[("bbox", key.get_key())] = bbox_h
         return key, res.unique_map, res.inverse_map, n_unique
 
     def insert_and_map_padded(
@@ -825,7 +829,10 @@ class CoordinateManager:
         if ck not in self._interp_cache:
             from ..ops.dense_conv import build_dense_plan
 
-            self._interp_cache[ck] = build_dense_plan(self._get_map(key))
+            bbox = self._interp_cache.get(("bbox", key.get_key()))
+            self._interp_cache[ck] = build_dense_plan(
+                self._get_map(key), bbox=bbox
+            )
         return self._interp_cache[ck]
 
     def clear(self):

@@ -77,13 +77,21 @@ def _flat_indices(coords, valid, mins, extents_arr, tensor_stride):
     return jnp.where(valid, flat.astype(jnp.int32), -1)
 
 
-def build_dense_plan(coordinate_map) -> Optional[DensePlan]:
-    """Dense plan for a coordinate map (one fused host sync for the bbox)."""
+def build_dense_plan(coordinate_map, bbox=None) -> Optional[DensePlan]:
+    """Dense plan for a coordinate map.
+
+    ``bbox`` (host (2, D+1) mins/maxs) is normally supplied by the manager —
+    it was fetched in the same host sync as the map's unique count, so no
+    extra round trip is needed here.
+    """
     coords = coordinate_map.coordinates
     valid = coordinate_map.valid_mask()
     ts = np.asarray(coordinate_map.tensor_stride, np.int64)
-    mins_d, maxs_d = _bbox(coords, valid)
-    mins, maxs = jax.device_get((mins_d, maxs_d))
+    if bbox is not None:
+        mins, maxs = np.asarray(bbox[0]), np.asarray(bbox[1])
+    else:
+        mins_d, maxs_d = _bbox(coords, valid)
+        mins, maxs = jax.device_get((mins_d, maxs_d))
     if (maxs < mins).any():  # empty map
         return None
     extents = np.maximum((maxs[1:] - mins[1:]) // ts + 1, 1)

@@ -62,7 +62,7 @@ class TestUnique:
         cap = bucket_capacity(n)
         padded = np.zeros((cap, d + 1), np.int32)
         padded[:n] = coords
-        res, u_coords, overflow = unique_coordinates(
+        res, u_coords, overflow, _bbox = unique_coordinates(
             jnp.asarray(padded), prefix_mask(cap, n)
         )
         assert not bool(overflow)
@@ -86,7 +86,7 @@ class TestUnique:
 
     def test_empty(self):
         padded = np.zeros((128, 4), np.int32)
-        res, _, _ = unique_coordinates(jnp.asarray(padded), prefix_mask(128, 0))
+        res, _, _, _ = unique_coordinates(jnp.asarray(padded), prefix_mask(128, 0))
         assert int(res.n_unique) == 0
 
 

@@ -261,3 +261,65 @@ class TestTensorOps:
         assert n_total == x.size
         for b, (c, f) in enumerate(zip(dc, df)):
             assert (np.asarray(c) == xc[xc[:, 0] == b][:, 1:]).all()
+
+
+class TestGradChecks:
+    """float64 numerical gradient checks for the index-based ops
+    (reference test strategy: float64 gradcheck everywhere, SURVEY §4)."""
+
+    def _setup(self, seed=21):
+        rng = np.random.RandomState(seed)
+        coords = np.unique(
+            np.concatenate(
+                [rng.randint(0, 2, (40, 1)), rng.randint(-5, 5, (40, 2))],
+                axis=1,
+            ).astype(np.int32),
+            axis=0,
+        )
+        mgr = ME.CoordinateManager(D=2)
+        key, _ = mgr.insert_and_map(coords)
+        return mgr, key, coords, rng
+
+    def test_pool_gradcheck_f64(self):
+        from jax import enable_x64
+        from jax.test_util import check_grads
+        from minkowskiengine_tpu.ops import functional as F
+
+        mgr, key, coords, rng = self._setup()
+        okey = mgr.stride(key, 2)
+        kmap = mgr.kernel_map(key, okey, kernel_size=2, stride=2, is_pool=True)
+        cap = mgr.capacity(key)
+        fpad = np.zeros((cap, 3))
+        fpad[: len(coords)] = rng.randn(len(coords), 3)
+        in_idx = jnp.asarray(np.asarray(kmap.in_idx))
+        with enable_x64():
+            check_grads(
+                lambda f: F.local_pool_avg.__wrapped__(f, in_idx)[0],
+                (jnp.asarray(fpad, jnp.float64),),
+                order=1, modes=("rev",), atol=1e-6, rtol=1e-6,
+            )
+
+    def test_interpolation_gradcheck_f64(self):
+        from jax import enable_x64
+        from jax.test_util import check_grads
+        from minkowskiengine_tpu.ops import functional as F
+
+        mgr, key, coords, rng = self._setup(seed=22)
+        samples = jnp.asarray(
+            np.concatenate(
+                [np.zeros((20, 1)), rng.rand(20, 2) * 4 - 2], axis=1
+            ),
+            jnp.float32,
+        )
+        rows, weights = mgr.interpolation_map_weight(key, samples)
+        cap = mgr.capacity(key)
+        fpad = np.zeros((cap, 3))
+        fpad[: len(coords)] = rng.randn(len(coords), 3)
+        rows = jnp.asarray(np.asarray(rows))
+        w64 = jnp.asarray(np.asarray(weights))
+        with enable_x64():
+            check_grads(
+                lambda f: F.interpolate_features(f, rows, w64),
+                (jnp.asarray(fpad, jnp.float64),),
+                order=1, modes=("rev",), atol=1e-6, rtol=1e-6,
+            )
