@@ -16,10 +16,13 @@ from .types import (
     MinkowskiAlgorithm,
     PoolingMode,
     RegionType,
+    CoordinateMapType,
     SparseTensorOperationMode,
     SparseTensorQuantizationMode,
 )
 from .coords import CoordinateManager, CoordinateMap, CoordinateMapKey, KernelMap
+
+CoordsManager = CoordinateManager  # legacy v0.4 alias (reference keeps it)
 from .coords.manager import (
     set_coordinate_map_type,
     set_gpu_allocator,

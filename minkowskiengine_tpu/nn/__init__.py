@@ -4,6 +4,7 @@ from .broadcast import (
     MinkowskiBroadcast,
     MinkowskiBroadcastAddition,
     MinkowskiBroadcastConcatenation,
+    MinkowskiBroadcastFunction,
     MinkowskiBroadcastMultiplication,
 )
 from .conv import (
@@ -18,6 +19,7 @@ from .interpolation import MinkowskiInterpolation, MinkowskiInterpolationFunctio
 from .module import MinkowskiModuleBase
 from .network import MinkowskiNetwork
 from .nonlinearity import (
+    MinkowskiAdaptiveLogSoftmaxWithLoss,
     MinkowskiAlphaDropout,
     MinkowskiCELU,
     MinkowskiDropout,
@@ -72,6 +74,9 @@ from .ops import (
 from .pooling import (
     MinkowskiAvgPooling,
     MinkowskiDirectMaxPoolingFunction,
+    MinkowskiGlobalPoolingFunction,
+    MinkowskiLocalPoolingFunction,
+    MinkowskiLocalPoolingTransposeFunction,
     MinkowskiGlobalAvgPooling,
     MinkowskiGlobalMaxPooling,
     MinkowskiGlobalPooling,

@@ -96,3 +96,23 @@ class MinkowskiBroadcastConcatenation(MinkowskiBroadcast):
             coordinate_map_key=input.coordinate_map_key,
             coordinate_manager=input.coordinate_manager,
         )
+
+
+class MinkowskiBroadcastFunction:
+    """Functional shim (reference: MinkowskiBroadcast.py:40-96)."""
+
+    @staticmethod
+    def apply(input_features, input_features_global, operation_type,
+              in_coordinate_map_key, glob_coordinate_map_key,
+              coordinate_manager):
+        origin_key, origin_rows = coordinate_manager.origin_map(
+            in_coordinate_map_key
+        )
+        op = (
+            "add"
+            if operation_type == BroadcastMode.ELEMENTWISE_ADDITON
+            else "mul"
+        )
+        return F.broadcast(
+            input_features, input_features_global, origin_rows, op
+        )

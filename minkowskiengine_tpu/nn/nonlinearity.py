@@ -172,6 +172,21 @@ class MinkowskiLogSoftmax(MinkowskiNonlinearityBase):
         return jax.nn.log_softmax(x, axis=self.dim)
 
 
+class MinkowskiAdaptiveLogSoftmaxWithLoss(MinkowskiModuleBase):
+    """Hierarchical softmax for very large label spaces.
+
+    Present for API parity (reference wraps
+    torch.nn.AdaptiveLogSoftmaxWithLoss, MinkowskiNonlinearity.py:162);
+    no sparse-tensor workload in the reference exercises it.
+    """
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "MinkowskiAdaptiveLogSoftmaxWithLoss is not implemented on TPU; "
+            "use MinkowskiLogSoftmax + a standard cross-entropy loss"
+        )
+
+
 class MinkowskiDropout(MinkowskiNonlinearityBase):
     def __init__(self, p: float = 0.5, inplace: bool = False, rngs=None):
         self.p = float(p)

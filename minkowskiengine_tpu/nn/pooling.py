@@ -277,3 +277,53 @@ class MinkowskiDirectMaxPoolingFunction:
     @staticmethod
     def apply(in_map, out_map, in_feat, out_nrows, is_sorted=False):
         return direct_max_pool(in_map, out_map, in_feat, out_nrows, is_sorted)
+
+
+class MinkowskiLocalPoolingFunction:
+    """Functional shim (reference: MinkowskiPooling.py:42-110)."""
+
+    @staticmethod
+    def apply(input_features, pooling_mode, kernel_generator,
+              in_coordinate_map_key, out_coordinate_map_key,
+              coordinate_manager):
+        kg = kernel_generator
+        kmap = coordinate_manager.kernel_map(
+            in_coordinate_map_key, out_coordinate_map_key,
+            stride=kg.kernel_stride, kernel_size=kg.kernel_size,
+            dilation=kg.kernel_dilation, is_pool=True,
+        )
+        if pooling_mode == PoolingMode.LOCAL_MAX_POOLING:
+            return F.local_pool_max(input_features, kmap.in_idx)
+        if pooling_mode == PoolingMode.LOCAL_SUM_POOLING:
+            return F.local_pool_sum(input_features, kmap.in_idx)[0]
+        return F.local_pool_avg(input_features, kmap.in_idx)[0]
+
+
+class MinkowskiLocalPoolingTransposeFunction:
+    """Functional shim (reference: MinkowskiPooling.py:441-512)."""
+
+    @staticmethod
+    def apply(input_features, pooling_mode, kernel_generator,
+              in_coordinate_map_key, out_coordinate_map_key,
+              coordinate_manager):
+        kg = kernel_generator
+        kmap = coordinate_manager.kernel_map(
+            in_coordinate_map_key, out_coordinate_map_key,
+            stride=kg.kernel_stride, kernel_size=kg.kernel_size,
+            dilation=kg.kernel_dilation, is_transpose=True, is_pool=True,
+        )
+        return F.local_pool_avg(input_features, kmap.in_idx)[0]
+
+
+class MinkowskiGlobalPoolingFunction:
+    """Functional shim (reference: MinkowskiPooling.py:583-631)."""
+
+    @staticmethod
+    def apply(input_features, pooling_mode, in_coordinate_map_key,
+              out_coordinate_map_key, coordinate_manager):
+        origin_key, origin_rows = coordinate_manager.origin_map(
+            in_coordinate_map_key
+        )
+        num = coordinate_manager.capacity(origin_key)
+        red = MinkowskiGlobalPooling._mode_to_reduction.get(pooling_mode, "avg")
+        return F.global_pool(input_features, origin_rows, num, red)[0]

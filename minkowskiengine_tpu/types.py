@@ -83,6 +83,14 @@ class CUDAKernelMapMode(enum.IntEnum):
     SPEED_OPTIMIZED = 1
 
 
+class CoordinateMapType(enum.IntEnum):
+    """Backend selector (reference: CPU/CUDA).  One XLA implementation
+    serves every device here; kept for API compatibility."""
+
+    CPU = 0
+    CUDA = 1
+
+
 class SparseTensorOperationMode(enum.IntEnum):
     """Coordinate-manager sharing modes (reference: MinkowskiTensor.py:33-70)."""
 
