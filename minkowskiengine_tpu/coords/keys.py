@@ -111,6 +111,14 @@ def overflow_mask(coords: jnp.ndarray) -> jnp.ndarray:
     for f, (lo_v, hi_v) in enumerate(ranges):
         c = coords[..., f]
         bad = bad | (c < lo_v) | (c > hi_v)
+    if sum(bit_allocation(n_fields - 1)) == 64:
+        # With a full 64-bit budget the single maximal tuple packs to
+        # all-ones == the key_max() padding sentinel; reject it so a real
+        # row can never be mistaken for padding.
+        is_max = jnp.ones(coords.shape[:-1], dtype=bool)
+        for f, (_, hi_v) in enumerate(ranges):
+            is_max = is_max & (coords[..., f] == hi_v)
+        bad = bad | is_max
     return bad
 
 

@@ -73,7 +73,11 @@ def dropout(input, p=0.5, training=True, key=None):
     if not training or p == 0.0:
         return input
     if key is None:
-        key = jax.random.PRNGKey(0)
+        raise ValueError(
+            "functional dropout with training=True requires an explicit "
+            "PRNG key (key=jax.random.PRNGKey(...)); a fixed default key "
+            "would apply the identical mask on every call"
+        )
     x = input.padded_features
     keep = jax.random.bernoulli(key, 1.0 - p, x.shape)
     return _wrap_tensor(input, jnp.where(keep, x / (1.0 - p), 0.0))

@@ -72,9 +72,14 @@ class MinkowskiBatchNorm(MinkowskiModuleBase):
         s = jnp.sum(feats * m, axis=0)
         sq = jnp.sum(feats * feats * m, axis=0)
         if self.axis_name is not None:
-            count = jax.lax.psum(count, self.axis_name)
-            s = jax.lax.psum(s, self.axis_name)
-            sq = jax.lax.psum(sq, self.axis_name)
+            try:
+                count = jax.lax.psum(count, self.axis_name)
+                s = jax.lax.psum(s, self.axis_name)
+                sq = jax.lax.psum(sq, self.axis_name)
+            except NameError:
+                # Not inside shard_map/pmap binding this axis: behave like
+                # plain BN (e.g. eager eval of a converted model).
+                pass
         count = jnp.maximum(count, 1.0)
         mean = s / count
         var = jnp.maximum(sq / count - mean * mean, 0.0)

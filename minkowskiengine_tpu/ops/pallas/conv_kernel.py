@@ -177,7 +177,10 @@ def build_slab_map(
     K, Co = in_idx.shape
     if Co % min(tile, Co) != 0:
         return None
-    span = int(measure_spans(in_idx, slab_tile(capacity_in, tile)))
+    # Measure with the same row-dimension tiling _slab_metadata will use
+    # (min(tile, Co), NOT a capacity-derived tile — a mismatch undersizes
+    # the slab and valid indices would silently gather zero rows).
+    span = int(measure_spans(in_idx, min(tile, Co)))
     return build_slab_map_from_span(in_idx, capacity_in, span, tile)
 
 

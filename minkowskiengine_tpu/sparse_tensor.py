@@ -435,10 +435,20 @@ class SparseTensor:
     # ------------------------------------------------------------------
     # arithmetic (reference: MinkowskiTensor.py:511-585)
     # ------------------------------------------------------------------
+    def _mask_pad(self, padded: jnp.ndarray, n_valid: int) -> jnp.ndarray:
+        """Re-zero padding rows after an op that doesn't map (0,0)→0.
+
+        Without this, ``a / b`` computes 0/0=NaN on padding rows and the NaN
+        poisons every downstream masked reduction (NaN·0 = NaN)."""
+        valid = jnp.arange(padded.shape[0]) < n_valid
+        return jnp.where(valid[:, None], padded, 0)
+
     def _binary(self, other, op):
         if isinstance(other, SparseTensor):
             if self._same_key(other):
-                return self._wrap(op(self._F, other._F))
+                return self._wrap(
+                    self._mask_pad(op(self._F, other._F), self.size)
+                )
             if self._manager is not other._manager:
                 raise ValueError(
                     "Both SparseTensors must share a coordinate manager for "
@@ -454,11 +464,11 @@ class SparseTensor:
             fa = F.take_rows(self._F, inv[0])
             fb = F.take_rows(other._F, inv[1])
             return SparseTensor(
-                op(fa, fb),
+                self._mask_pad(op(fa, fb), self._manager.size(union_key)),
                 coordinate_map_key=union_key,
                 coordinate_manager=self._manager,
             )
-        return self._wrap(op(self._F, other))
+        return self._wrap(self._mask_pad(op(self._F, other), self.size))
 
     def __add__(self, other):
         return self._binary(other, lambda a, b: a + b)
@@ -482,7 +492,7 @@ class SparseTensor:
         return self._wrap(-self._F)
 
     def __pow__(self, p):
-        return self._wrap(self._F**p)
+        return self._wrap(self._mask_pad(self._F**p, self.size))
 
     def __repr__(self):
         return (
