@@ -7,8 +7,15 @@ COO-format sparse tensors) for TPU hardware.
 
 __version__ = "0.1.0"
 
-from .kernel_generator import KernelGenerator, KernelRegion
+from .kernel_generator import (
+    KernelGenerator,
+    KernelRegion,
+    convert_region_type,
+    get_kernel_volume,
+)
 from .types import (
+    convert_to_int_list,
+    convert_to_int_tensor,
     BroadcastMode,
     ConvolutionMode,
     CUDAKernelMapMode,
@@ -40,6 +47,10 @@ from .tensor_field import TensorField
 from .nn import *  # noqa: F401,F403 — the reference exports all modules flat
 from .nn import functional as MinkowskiFunctional
 from .nn.ops import _sum  # reference exports this name
+from .nn.ops import _sum as sum  # noqa: A001 — reference: `_sum as sum`
+from .nn.norm import MinkowskiInstanceNormFunction
+from .nn.pruning import MinkowskiPruningFunction
+from .nn.union import MinkowskiUnionFunction
 from . import utils
 from .sparse_matrix_functions import (
     MinkowskiSPMMAverageFunction,
@@ -47,7 +58,13 @@ from .sparse_matrix_functions import (
     spmm,
     spmm_average,
 )
-from .diagnostics import print_diagnostics
+from .diagnostics import (
+    cuda_version,
+    cudart_version,
+    get_gpu_memory_info,
+    is_cuda_available,
+    print_diagnostics,
+)
 from .config import compute_dtype, set_compute_dtype
 from . import models
 from . import parallel

@@ -59,3 +59,29 @@ def get_device_memory_info():
     total = stats.get("bytes_limit", 0)
     used = stats.get("bytes_in_use", 0)
     return total - used, total
+
+
+# --- reference backend-info API (pybind/extern.hpp:808-838) ---------------
+# This is a TPU framework: there is no CUDA anywhere, and these functions
+# say so honestly rather than pretending.
+
+
+def is_cuda_available() -> bool:
+    """Always False — compute runs on TPU/XLA, not CUDA."""
+    return False
+
+
+def cuda_version() -> int:
+    """-1: built without CUDA (matches the reference's CPU-only build)."""
+    return -1
+
+
+def cudart_version() -> int:
+    """-1: built without CUDA."""
+    return -1
+
+
+def get_gpu_memory_info():
+    """(free, total) accelerator memory — aliases the device-agnostic
+    :func:`get_device_memory_info` so reference callers keep working."""
+    return get_device_memory_info()

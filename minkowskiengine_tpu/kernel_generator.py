@@ -129,6 +129,83 @@ def region_offsets(
     raise NotImplementedError(f"region_type {region_type}")
 
 
+def get_kernel_volume(
+    region_type, kernel_size, region_offset, axis_types, dimension
+):
+    """Offset count of a kernel region (reference:
+    MinkowskiKernelGenerator.py:38-102)."""
+    region_type = RegionType(region_type)
+    if region_type == RegionType.HYPER_CUBE:
+        if region_offset is not None and np.size(region_offset) > 0:
+            raise ValueError("Region offset must be None for HYPER_CUBE")
+        if axis_types is not None:
+            raise ValueError("Axis types must be None for HYPER_CUBE")
+        return int(np.prod(kernel_size))
+    if region_type == RegionType.HYPER_CROSS:
+        ks = np.asarray(kernel_size, dtype=np.int64)
+        if int(np.prod(ks % 2)) != 1:
+            raise ValueError("kernel_size must be odd for HYPER_CROSS")
+        return int(np.sum(ks - 1) + 1)
+    if region_type == RegionType.CUSTOM:
+        ro = np.asarray(region_offset)
+        if ro.size == 0:
+            raise ValueError("region_offset must be non-empty for CUSTOM")
+        if ro.shape[1] != dimension:
+            raise ValueError("region_offset dimension mismatch")
+        return int(ro.shape[0])
+    raise NotImplementedError(f"region_type {region_type}")
+
+
+def convert_region_type(
+    region_type,
+    tensor_stride,
+    kernel_size,
+    up_stride,
+    dilation,
+    region_offset,
+    axis_types,
+    dimension,
+    center: bool = True,
+):
+    """Resolve a region spec to ``(region_type, offsets, volume)``.
+
+    API parity with the reference converter
+    (MinkowskiKernelGenerator.py:105-242): HYBRID specs (per-axis
+    cube/cross mix) expand to CUSTOM offsets scaled by
+    ``dilation * tensor_stride / up_stride``; plain regions pass through
+    with their volume.  Offsets are int32 numpy (torch.IntTensor there).
+    """
+    region_type = RegionType(region_type)
+    tensor_stride = as_tuple(tensor_stride, dimension)
+    kernel_size = as_tuple(kernel_size, dimension)
+    up_stride = as_tuple(up_stride, dimension)
+    dilation = as_tuple(dilation, dimension)
+    scale_stride = tuple(
+        ts // us for ts, us in zip(tensor_stride, up_stride)
+    )
+
+    if region_type == RegionType.HYBRID or axis_types is not None:
+        if region_offset is not None and np.size(region_offset) > 0:
+            raise ValueError("Region offset must be empty for HYBRID")
+        offsets = hybrid_offsets(
+            kernel_size, dilation, scale_stride, tuple(axis_types)
+        )
+        return RegionType.CUSTOM, offsets, int(offsets.shape[0])
+
+    if region_type == RegionType.CUSTOM:
+        ro = np.asarray(region_offset, dtype=np.int32)
+        if ro.size == 0:
+            raise ValueError("region_offset must be non-empty for CUSTOM")
+        return RegionType.CUSTOM, ro, int(ro.shape[0])
+
+    volume = get_kernel_volume(
+        region_type, kernel_size, None, None, dimension
+    )
+    if region_offset is None or np.size(region_offset) == 0:
+        region_offset = np.zeros((0, dimension), dtype=np.int32)
+    return region_type, np.asarray(region_offset, np.int32), volume
+
+
 class KernelRegion:
     """A fully-resolved kernel region for one tensor stride."""
 

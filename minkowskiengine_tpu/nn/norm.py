@@ -179,6 +179,33 @@ class MinkowskiSyncBatchNorm(MinkowskiBatchNorm):
         return module
 
 
+class MinkowskiInstanceNormFunction:
+    """Functional shim mirroring the reference autograd Function
+    (MinkowskiNormalization.py:194-310).  The reference composes global
+    pooling + broadcast with a hand-derived backward; here the same
+    composition is expressed in pure JAX ops and autodiff covers it.
+    """
+
+    @staticmethod
+    def apply(
+        in_feat,
+        in_coords_key,
+        glob_coords_key=None,
+        coords_manager=None,
+        gpooling_mode=None,
+    ):
+        origin_key, origin_rows = coords_manager.origin_map(in_coords_key)
+        if glob_coords_key is not None and not glob_coords_key.is_key_set():
+            glob_coords_key.set_key(*origin_key.get_key())
+        num = coords_manager.capacity(origin_key)
+        mean = F.segment_mean(in_feat, origin_rows, num)
+        centered = in_feat - F.take_rows(mean, origin_rows)
+        var = F.segment_mean(centered * centered, origin_rows, num)
+        inv_std = jax.lax.rsqrt(var + 1e-8)
+        out = centered * F.take_rows(inv_std, origin_rows)
+        return jnp.where((origin_rows >= 0)[:, None], out, 0.0)
+
+
 class MinkowskiInstanceNorm(MinkowskiModuleBase):
     """Per-batch-item (per point cloud) normalization (reference:
     MinkowskiNormalization.py:361-399).  The reference hand-derives the

@@ -33,3 +33,32 @@ class MinkowskiPruning(MinkowskiModuleBase):
 
     def __repr__(self):
         return self.__class__.__name__ + "()"
+
+
+class MinkowskiPruningFunction:
+    """Functional shim mirroring the reference autograd Function
+    (MinkowskiPruning.py:38-74).  The out key is created by the manager's
+    prune (value-based keys: pass the result to SparseTensor)."""
+
+    @staticmethod
+    def apply(
+        in_feat,
+        mask,
+        in_coords_key,
+        out_coords_key=None,
+        coords_manager=None,
+    ):
+        mask = jnp.asarray(mask)
+        if mask.dtype != jnp.bool_:
+            mask = mask.astype(bool)
+        new_key, _, out_from_in = coords_manager.prune(in_coords_key, mask)
+        if out_coords_key is not None:
+            if not out_coords_key.is_key_set():
+                out_coords_key.set_key(*new_key.get_key())  # fill, like the
+                # reference's in-place out-key population
+            elif new_key != out_coords_key:
+                raise ValueError(
+                    "out_coords_key does not match the pruned map "
+                    "for this mask"
+                )
+        return F.prune_features(in_feat, out_from_in)

@@ -43,3 +43,21 @@ class MinkowskiUnion(MinkowskiModuleBase):
 
     def __repr__(self):
         return self.__class__.__name__ + "()"
+
+
+class MinkowskiUnionFunction:
+    """Functional shim mirroring the reference autograd Function
+    (MinkowskiUnion.py:33-83): gather-sum into the union map rows."""
+
+    @staticmethod
+    def apply(in_coords_keys, out_coords_key, coordinate_manager, *in_feats):
+        if len(in_feats) != len(in_coords_keys):
+            raise ValueError(
+                "The input features and keys must have the same length"
+            )
+        maps = coordinate_manager.union_map(
+            list(in_coords_keys), out_coords_key
+        )
+        cap = coordinate_manager.capacity(out_coords_key)
+        inv = [_invert_union_map(m, cap) for m in maps]
+        return F.union_features(list(in_feats), inv)

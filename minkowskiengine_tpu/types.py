@@ -116,6 +116,20 @@ CoordinateMapKeyType = Tuple[Tuple[int, ...], str]
 StrideLike = Union[int, Sequence[int]]
 
 
+def convert_to_int_list(value: StrideLike, dimension: int):
+    """Reference-API helper (MinkowskiCommon.py:39-55): int-or-sequence →
+    length-D list of ints."""
+    return list(as_tuple(value, dimension))
+
+
+def convert_to_int_tensor(value: StrideLike, dimension: int):
+    """Reference-API helper (MinkowskiCommon.py:57-74): int-or-sequence →
+    length-D int32 array (torch.IntTensor → numpy here)."""
+    import numpy as np
+
+    return np.asarray(as_tuple(value, dimension), dtype=np.int32)
+
+
 def as_tuple(value: StrideLike, dimension: int) -> Tuple[int, ...]:
     """Normalize an int-or-sequence stride-like argument to a D-tuple."""
     if isinstance(value, (int,)):

@@ -220,3 +220,104 @@ class Test4DMinkUNet:
         assert out.tensor_stride == (1, 1, 1, 1)
         np.testing.assert_array_equal(np.asarray(out.C), np.asarray(x.C))
         assert np.isfinite(np.asarray(out.F)).all()
+
+
+class TestExportSurface:
+    """The reference __init__ export list is the API contract
+    (reference: MinkowskiEngine/__init__.py:53-217)."""
+
+    REFERENCE_INIT = "/root/reference/MinkowskiEngine/__init__.py"
+
+    def test_every_reference_export_exists(self):
+        import ast
+        import os
+
+        if not os.path.exists(self.REFERENCE_INIT):
+            pytest.skip("reference checkout not available")
+        tree = ast.parse(open(self.REFERENCE_INIT).read())
+        names = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    names.add(a.asname or a.name)
+        missing = sorted(n for n in names if not hasattr(ME, n))
+        assert not missing, f"missing reference exports: {missing}"
+
+    def test_backend_info_functions(self):
+        assert ME.is_cuda_available() is False
+        assert isinstance(ME.cuda_version(), int)
+        assert isinstance(ME.cudart_version(), int)
+        free, total = ME.get_gpu_memory_info()
+        assert free >= 0 and total >= 0
+
+    def test_convert_region_type_hybrid(self):
+        rt, offsets, volume = ME.convert_region_type(
+            ME.RegionType.HYBRID,
+            tensor_stride=[1, 1],
+            kernel_size=[3, 3],
+            up_stride=[1, 1],
+            dilation=[1, 1],
+            region_offset=None,
+            axis_types=[ME.RegionType.HYPER_CUBE, ME.RegionType.HYPER_CROSS],
+            dimension=2,
+        )
+        assert rt == ME.RegionType.CUSTOM
+        assert volume == offsets.shape[0] == 3 * 1 + 2  # cube axis + cross arms
+
+    def test_get_kernel_volume(self):
+        assert ME.get_kernel_volume(
+            ME.RegionType.HYPER_CUBE, [3, 3, 3], None, None, 3
+        ) == 27
+        assert ME.get_kernel_volume(
+            ME.RegionType.HYPER_CROSS, [3, 5, 3], None, None, 3
+        ) == 2 + 4 + 2 + 1
+        offs = np.zeros((7, 3), np.int32)
+        assert ME.get_kernel_volume(
+            ME.RegionType.CUSTOM, [3, 3, 3], offs, None, 3
+        ) == 7
+
+    def test_convert_to_int_tensor(self):
+        np.testing.assert_array_equal(
+            ME.convert_to_int_tensor(2, 3), np.array([2, 2, 2], np.int32)
+        )
+        assert ME.convert_to_int_list([1, 2, 3], 3) == [1, 2, 3]
+
+    def test_function_shims(self):
+        coords, feats = rand_tensor(40, 2, 3, seed=11)
+        x = ME.SparseTensor(feats, coords)
+        mgr = x.coordinate_manager
+
+        # InstanceNorm shim vs module composition
+        out = ME.MinkowskiInstanceNormFunction.apply(
+            x.padded_features, x.coordinate_map_key, None, mgr
+        )
+        n = x.size
+        got = np.asarray(out[:n])
+        for b in np.unique(coords[:, 0]):
+            rows = np.asarray(x.C)[:, 0] == b
+            sub = got[rows]
+            assert abs(sub.mean()) < 1e-4
+        # Pruning shim
+        mask = np.zeros(n, bool)
+        mask[: n // 2] = True
+        pruned = ME.MinkowskiPruningFunction.apply(
+            x.padded_features, mask, x.coordinate_map_key, None, mgr
+        )
+        assert pruned.shape[1] == 3
+        # Union shim
+        y = ME.SparseTensor(
+            feats * 2.0,
+            coordinate_map_key=x.coordinate_map_key,
+            coordinate_manager=mgr,
+        )
+        keys = [x.coordinate_map_key, y.coordinate_map_key]
+        union_key = mgr.merge(keys)
+        u = ME.MinkowskiUnionFunction.apply(
+            keys, union_key, mgr, x.padded_features, y.padded_features
+        )
+        nu = mgr.size(union_key)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(u[:nu]), axis=0),
+            np.sort(np.asarray(feats) * 3.0, axis=0),
+            rtol=1e-5,
+        )
