@@ -163,6 +163,36 @@ def main():
         flush=True,
     )
 
+    # ---- surface-like (room scan) cloud: realistic slab-span statistics --
+    # Real scans are 2-D surfaces in 3-D; per-tile index spans differ wildly
+    # from uniform-random clouds.  This validates the slab ladder holds and
+    # gives a ScanNet-room-shaped headline (VERDICT r1 item 9).
+    from minkowskiengine_tpu.utils.datasets import room_scan_voxels
+
+    s_coords, s_feats = room_scan_voxels(
+        voxel_size=0.05, n_points=200_000, extent=(3.2, 3.2, 2.5), seed=0
+    )
+    log(f"surface cloud: {len(s_coords)} voxels (room scan @ 5cm)")
+    xs = ME.SparseTensor(s_feats, s_coords)
+    ys = conv(xs)  # warm maps for the surface geometry
+    kmap_s = xs.coordinate_manager.kernel_map(
+        xs.coordinate_map_key, ys.coordinate_map_key, kernel_size=3, stride=1
+    )
+    fpad_s = xs.padded_features
+
+    @jax.jit
+    def conv_many_surface(f, w):
+        acc = 0.0
+        for i in range(REPS):
+            acc = acc + sparse_conv_kmap(f * scales[i], w, kmap_s)[0, 0]
+        return acc
+
+    ts_min, _ = timeit(lambda: conv_many_surface(fpad_s, kernel).block_until_ready())
+    ts_min = ts_min / REPS
+    results["single_conv_fwd_k3_surface_s"] = ts_min
+    results["surface_cloud_voxels"] = len(s_coords)
+    log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
+
     # ---- e2e including coordinate-map + kernel-map build (cold) ---------
     def run_cold():
         mgr = ME.CoordinateManager(D=3)

@@ -687,10 +687,37 @@ class CoordinateManager:
         """Public stride map: (C_in,) int32 output row per input row."""
         return self._stride_map_array(in_key, out_key)
 
-    def kernel_map_dict(self, *args, **kwargs):
+    def kernel_map_dict(
+        self,
+        in_key: CoordinateMapKey,
+        out_key: CoordinateMapKey,
+        stride=1,
+        kernel_size=3,
+        dilation=1,
+        region_type: RegionType = RegionType.HYPER_CUBE,
+        region_offsets: Optional[np.ndarray] = None,
+        is_transpose: bool = False,
+        is_pool: bool = False,
+    ):
         """Reference-format kernel map: {offset: (in_rows, out_rows)} host
-        dict (reference ``kernel_map_th``, coordinate_map_manager.cpp:1358)."""
-        return self.kernel_map(*args, **kwargs).to_pair_lists()
+        dict (reference ``kernel_map_th``, coordinate_map_manager.cpp:1358).
+
+        Always keyed by kernel offsets: pooling requests are resolved as
+        genuine per-offset maps rather than through the internal stride-map
+        fast path, whose rows are collision slots, not offsets (the
+        per-offset map shares the conv cache entry for the same geometry).
+        """
+        return self.kernel_map(
+            in_key,
+            out_key,
+            stride,
+            kernel_size,
+            dilation,
+            region_type,
+            region_offsets,
+            is_transpose,
+            is_pool=False,
+        ).to_pair_lists()
 
     def origin_map(
         self, key: CoordinateMapKey

@@ -264,19 +264,41 @@ def local_pool_avg(feats, in_idx) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @jax.jit
 def local_pool_max(feats, in_idx) -> jnp.ndarray:
-    """Max pooling; rows with no pairs yield 0.  The argmax flows through
-    autodiff (jnp.maximum's VJP), replacing the reference's stored max_index
-    mask (src/pooling_max_kernel.hpp:35-117)."""
-    def step(acc, idx_k):
-        g = take_rows(feats, idx_k)
-        g = jnp.where((idx_k >= 0)[:, None], g, NEG_INF)
-        return jnp.maximum(acc, g), None
+    """Max pooling; rows with no pairs yield 0.
 
-    C_out = in_idx.shape[1]
-    acc, _ = jax.lax.scan(
-        step, jnp.full((C_out, feats.shape[1]), NEG_INF, feats.dtype), in_idx
+    Gradient routes entirely to the stored argmax (first maximum on ties),
+    matching the reference's max_index mask
+    (src/pooling_max_kernel.hpp:35-117) — a chained ``jnp.maximum`` would
+    split tie gradients 50/50 instead.
+    """
+    K, C_out = in_idx.shape
+    ch = feats.shape[1]
+
+    def step(carry, x):
+        k, idx_k = x
+        g = take_rows(jax.lax.stop_gradient(feats), idx_k)
+        g = jnp.where((idx_k >= 0)[:, None], g, NEG_INF)
+        best, best_k = carry
+        better = g > best  # strict: first max wins, like the reference
+        return (
+            jnp.where(better, g, best),
+            jnp.where(better, k, best_k),
+        ), None
+
+    init = (
+        jnp.full((C_out, ch), NEG_INF, feats.dtype),
+        jnp.full((C_out, ch), -1, jnp.int32),
     )
-    return jnp.where(jnp.isneginf(acc), 0.0, acc)
+    (_, best_k), _ = jax.lax.scan(
+        step, init, (jnp.arange(K, dtype=jnp.int32), in_idx)
+    )
+    # Winning input row per (out, channel); -1 where no valid input.
+    win_row = jnp.take_along_axis(
+        in_idx.T, jnp.clip(best_k, 0, K - 1), axis=1
+    )
+    win_row = jnp.where(best_k >= 0, win_row, -1)
+    gathered = feats[jnp.clip(win_row, 0), jnp.arange(ch)[None, :]]
+    return jnp.where(win_row >= 0, gathered, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -88,6 +88,30 @@ class SparseTensor:
         self.unique_index = None
         self.inverse_mapping = None
 
+        if (
+            coordinates is not None
+            and quantization_mode
+            == SparseTensorQuantizationMode.SPLAT_LINEAR_INTERPOLATION
+        ):
+            # Continuous coordinates splatted onto the unit lattice with
+            # multilinear weights (reference quantization-mode dispatch:
+            # MinkowskiSparseTensor.py:318-343 + MinkowskiTensorField
+            # splat machinery).
+            from .tensor_field import TensorField
+
+            tf = TensorField(
+                features,
+                jnp.asarray(coordinates, jnp.float32),
+                coordinate_manager=coordinate_manager,
+                quantization_mode=quantization_mode,
+            )
+            st = tf.splat()
+            self._F = st._F
+            self.coordinate_map_key = st.coordinate_map_key
+            self._manager = st._manager
+            self._batch_boundaries = None
+            return
+
         if coordinates is not None:
             coordinates = jnp.asarray(coordinates, jnp.int32)
             if coordinates.ndim != 2:
@@ -356,30 +380,71 @@ class SparseTensor:
         return dense, jnp.asarray(min_coordinate), self.tensor_stride
 
     def sparse(self, min_coords=None, max_coords=None, contract_coords=True):
-        """Export as a `jax.experimental.sparse.BCOO` of shape
+        """Export as ``(BCOO, min_coords, tensor_stride)`` of shape
         (B, *spatial, ch) — the JAX-native analogue of the reference's
-        torch.sparse_coo export (MinkowskiSparseTensor.py:348-430)."""
+        torch.sparse_coo export (MinkowskiSparseTensor.py:348-457):
+        ``min_coords``/``max_coords`` fix the output window (both must be
+        divisible by the tensor stride; max is inclusive), and
+        ``contract_coords`` divides coordinates by the stride."""
         from jax.experimental import sparse as jsparse
 
         coords = np.asarray(self.C)
-        ts = np.asarray(self.tensor_stride)
-        spatial = coords[:, 1:]
-        if contract_coords and coords.shape[0]:
-            spatial = spatial - spatial.min(axis=0)
+        ts = np.asarray(self.tensor_stride, dtype=np.int64)
+        spatial = coords[:, 1:].astype(np.int64)
+
+        if min_coords is not None:
+            min_c = np.asarray(min_coords, dtype=np.int64).reshape(-1)
+            if min_c.size != self.D:
+                raise ValueError(
+                    f"min_coords must have {self.D} elements, got {min_c.size}"
+                )
+            if (min_c % ts).any():
+                raise ValueError(
+                    "The minimum coordinates must be divisible by the "
+                    "tensor stride."
+                )
+        elif coords.shape[0]:
+            min_c = spatial.min(axis=0)
+        else:
+            min_c = np.zeros(self.D, dtype=np.int64)
+
+        max_c = None
+        if max_coords is not None:
+            max_c = np.asarray(max_coords, dtype=np.int64).reshape(-1)
+            if max_c.size != self.D:
+                raise ValueError(
+                    f"max_coords must have {self.D} elements, got {max_c.size}"
+                )
+            if (max_c % ts).any():
+                raise ValueError(
+                    "The maximum coordinates must be divisible by the "
+                    "tensor stride."
+                )
+
+        spatial = spatial - min_c
+        if contract_coords:
             spatial = spatial // ts
+            if max_c is not None:
+                max_c = max_c // ts
+            min_c = min_c // ts
+
         B = int(coords[:, 0].max()) + 1 if coords.shape[0] else 1
-        sp_shape = (
-            tuple(int(s) + 1 for s in spatial.max(axis=0))
-            if coords.shape[0]
-            else (1,) * self.D
-        )
+        if max_c is not None:
+            # Fixed window, inclusive max (reference :444-451).
+            sp_shape = tuple(int(s) for s in (max_c - min_c + 1))
+        elif coords.shape[0]:
+            sp_shape = tuple(int(s) + 1 for s in spatial.max(axis=0))
+        else:
+            sp_shape = (1,) * self.D
         indices = jnp.concatenate(
-            [jnp.asarray(coords[:, :1]), jnp.asarray(spatial)], axis=1
+            [jnp.asarray(coords[:, :1]), jnp.asarray(spatial, jnp.int32)],
+            axis=1,
         )
         shape = (B,) + sp_shape + (int(self._F.shape[1]),)
-        return jsparse.BCOO(
+        bcoo = jsparse.BCOO(
             (self.F, indices), shape=shape, unique_indices=True
         )
+        return bcoo, jnp.asarray(min_c, jnp.int32), tuple(int(t) for t in ts)
 
     # ------------------------------------------------------------------
     # field bridges (reference: MinkowskiSparseTensor.py:559-718)

@@ -165,6 +165,20 @@ class TensorField:
         if quantization_mode is None:
             quantization_mode = self.quantization_mode
         Q = SparseTensorQuantizationMode
+        if quantization_mode == Q.SPLAT_LINEAR_INTERPOLATION:
+            # The reference asserts "use .splat()" here
+            # (MinkowskiTensorField.py:294-297); we wire it through instead.
+            ts = tensor_stride
+            if coordinate_map_key is not None:
+                ts = coordinate_map_key.get_tensor_stride()
+            from .types import as_tuple
+
+            if as_tuple(ts, self.D) != (1,) * self.D:
+                raise ValueError(
+                    "SPLAT_LINEAR_INTERPOLATION voxelizes onto the unit "
+                    "lattice (tensor_stride 1)"
+                )
+            return self.splat()
         if coordinate_map_key is None:
             coordinate_map_key, (
                 _,

@@ -323,3 +323,59 @@ class TestGradChecks:
                 (jnp.asarray(fpad, jnp.float64),),
                 order=1, modes=("rev",), atol=1e-6, rtol=1e-6,
             )
+
+
+class TestDeviationRegressions:
+    """Round-2 regressions for silent API deviations (VERDICT round 1)."""
+
+    def test_max_pool_tie_gradient_routes_to_first(self):
+        """Reference stores argmax and routes the whole gradient there
+        (src/pooling_max_kernel.hpp:35-117); ties must not split 50/50."""
+        from minkowskiengine_tpu.ops import functional as F
+
+        feats = jnp.array([[1.0, 2.0], [1.0, 5.0], [0.5, 5.0]])
+        in_idx = jnp.array([[0], [1], [2]], jnp.int32)
+        g = jax.grad(lambda x: F.local_pool_max(x, in_idx).sum())(feats)
+        np.testing.assert_allclose(
+            np.asarray(g), [[1, 0], [0, 1], [0, 0]]
+        )
+
+    def test_kernel_map_dict_pool_keys_are_offsets(self):
+        mgr = ME.CoordinateManager(D=2)
+        coords = np.array(
+            [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1], [0, 2, 2]], np.int32
+        )
+        key, _ = mgr.insert_and_map(coords)
+        out_key = mgr.stride(key, 2)
+        d = mgr.kernel_map_dict(
+            key, out_key, stride=2, kernel_size=2, is_pool=True
+        )
+        assert sorted(d.keys()) == [0, 1, 2, 3]  # kernel_volume offsets
+        assert sum(len(v[0]) for v in d.values()) == 5
+        out_c = np.asarray(mgr.get_coordinates(out_key))
+        for k, (i, o) in d.items():
+            cin = coords[np.asarray(i)]
+            cout = out_c[np.asarray(o)]
+            np.testing.assert_array_equal(cin[:, 1:] // 2 * 2, cout[:, 1:])
+
+    def test_sparse_export_honors_min_max(self):
+        coords = np.array(
+            [[0, 0, 0], [0, 1, 2], [0, 3, 3], [1, 2, 2]], np.int32
+        )
+        x = ME.SparseTensor(np.ones((4, 2), np.float32), coords)
+        bcoo, min_c, ts = x.sparse(
+            min_coords=np.array([0, 0]), max_coords=np.array([3, 3])
+        )
+        assert bcoo.shape == (2, 4, 4, 2)
+        np.testing.assert_array_equal(np.asarray(min_c), [0, 0])
+        assert ts == (1, 1)
+        dense = np.asarray(bcoo.todense())
+        assert dense[0, 1, 2, 0] == 1.0 and dense[1, 2, 2, 1] == 1.0
+        # non-divisible min must raise
+        x2 = ME.SparseTensor(
+            np.ones((1, 1), np.float32),
+            np.array([[0, 2, 2]], np.int32),
+            tensor_stride=2,
+        )
+        with pytest.raises(ValueError):
+            x2.sparse(min_coords=np.array([1, 1]))

@@ -75,3 +75,87 @@ class TestTensorField:
             np.array([[0, 0.5, 0.5], [0, 0.0, 0.0]], np.float32)
         )
         np.testing.assert_allclose(np.asarray(out).ravel(), [2.5, 1.0], rtol=1e-5)
+
+
+class TestSplatWiring:
+    """SPLAT_LINEAR_INTERPOLATION through .sparse() and the SparseTensor
+    ctor (round-2; reference: MinkowskiTensorField splat machinery)."""
+
+    def _splat_oracle(self, coords, feats, D):
+        """Brute-force 2^D multilinear scatter."""
+        import itertools as it
+
+        acc = {}
+        for (b, *p), f in zip(coords, feats):
+            floor = np.floor(p).astype(np.int64)
+            frac = np.asarray(p) - floor
+            for bits in it.product((0, 1), repeat=D):
+                w = 1.0
+                for d, bit in enumerate(bits):
+                    w *= frac[d] if bit else (1.0 - frac[d])
+                key = (int(b),) + tuple(int(c) for c in floor + np.array(bits))
+                acc[key] = acc.get(key, 0.0) + w * np.asarray(f)
+        return acc
+
+    def test_sparse_splat_matches_oracle(self):
+        rng = np.random.RandomState(3)
+        D = 3
+        coords = np.concatenate(
+            [
+                rng.randint(0, 2, (30, 1)).astype(np.float32),
+                rng.uniform(0, 5, (30, D)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        feats = rng.randn(30, 4).astype(np.float32)
+        tf = ME.TensorField(feats, coords)
+        st = tf.sparse(
+            quantization_mode=ME.SparseTensorQuantizationMode.SPLAT_LINEAR_INTERPOLATION
+        )
+        oracle = self._splat_oracle(coords, feats, D)
+        got_c = np.asarray(st.C)
+        got_f = np.asarray(st.F)
+        assert len(got_c) == len([k for k in oracle])
+        for crow, frow in zip(got_c, got_f):
+            key = tuple(int(v) for v in crow)
+            np.testing.assert_allclose(frow, oracle[key], rtol=1e-4, atol=1e-5)
+
+    def test_sparse_tensor_ctor_splat(self):
+        rng = np.random.RandomState(4)
+        coords = np.concatenate(
+            [np.zeros((10, 1), np.float32), rng.uniform(0, 3, (10, 2)).astype(np.float32)],
+            axis=1,
+        )
+        feats = rng.randn(10, 2).astype(np.float32)
+        st = ME.SparseTensor(
+            feats,
+            coords,
+            quantization_mode=ME.SparseTensorQuantizationMode.SPLAT_LINEAR_INTERPOLATION,
+        )
+        oracle = self._splat_oracle(coords, feats, 2)
+        assert st.size == len(oracle)
+        total = sum(v.sum() for v in oracle.values())
+        np.testing.assert_allclose(
+            np.asarray(st.F).sum(), total, rtol=1e-4
+        )
+
+    def test_splat_fcnn_end_to_end(self):
+        from flax import nnx
+        from minkowskiengine_tpu.models import MinkowskiSplatFCNN
+
+        rng = np.random.RandomState(5)
+        coords = np.concatenate(
+            [
+                rng.randint(0, 2, (60, 1)).astype(np.float32),
+                rng.uniform(0, 8, (60, 3)).astype(np.float32),
+            ],
+            axis=1,
+        )
+        feats = rng.randn(60, 3).astype(np.float32)
+        tf = ME.TensorField(feats, coords)
+        net = MinkowskiSplatFCNN(3, 5, embedding_channel=32,
+                                 channels=(8, 8, 8, 8, 8), D=3,
+                                 rngs=nnx.Rngs(0))
+        out = net(tf)
+        assert out.shape[-1] == 5
+        assert np.isfinite(np.asarray(out.F if hasattr(out, "F") else out)).all()
