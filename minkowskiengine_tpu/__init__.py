@@ -27,7 +27,15 @@ from .types import (
     SparseTensorOperationMode,
     SparseTensorQuantizationMode,
 )
-from .coords import CoordinateManager, CoordinateMap, CoordinateMapKey, KernelMap
+from .coords import (
+    CoordinateManager,
+    CoordinateMap,
+    CoordinateMapKey,
+    Geometry,
+    GeometryReplayer,
+    KernelMap,
+    stack_geometries,
+)
 
 CoordsManager = CoordinateManager  # legacy v0.4 alias (reference keeps it)
 from .coords.manager import (

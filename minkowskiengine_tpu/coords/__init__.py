@@ -3,6 +3,13 @@
 from .kernel_map import KernelMap, build_kernel_map, build_stride_map
 from .manager import CoordinateFieldMap, CoordinateManager, CoordinateMapKey
 from .map import CoordinateMap, bucket_capacity
+from .geometry import (
+    Geometry,
+    GeometryReplayer,
+    index_geometry,
+    squeeze_geometry,
+    stack_geometries,
+)
 
 __all__ = [
     "CoordinateFieldMap",
@@ -13,4 +20,9 @@ __all__ = [
     "build_kernel_map",
     "build_stride_map",
     "bucket_capacity",
+    "Geometry",
+    "GeometryReplayer",
+    "index_geometry",
+    "squeeze_geometry",
+    "stack_geometries",
 ]

@@ -1,0 +1,183 @@
+"""Geometry: a coordinate manager's cached state as a traceable pytree.
+
+Why this exists (the fresh-geometry training problem): the coordinate phase
+is host-driven, so when a jitted train step closes over a manager, every
+kernel map it fetches is baked into the compiled program as a CONSTANT —
+each new point cloud forces a full retrace + recompile.  ``Geometry`` turns
+that state into a pytree *argument*: one compiled step then serves every
+geometry whose padded capacity buckets match (power-of-two bucketing makes
+matches the common case), and per-device geometries can be stacked and fed
+through ``shard_map`` as sharded arguments — the reference's per-GPU DDP
+regime (reference: examples/multigpu_ddp.py:100-119), which its engine
+expresses by simply being a separate process per GPU.
+
+Flow::
+
+    x = ME.SparseTensor(feats, coords)          # builds maps, records oplog
+    _ = net(x)                                  # first (eager) forward
+    log = x.coordinate_manager.oplog()          # the coordinate-op recipe
+
+    # per fresh batch:
+    mgr2 = ME.CoordinateManager.replay(log, new_coords)   # no model needed
+    geo = mgr2.export_geometry()
+
+    @nnx.jit
+    def step(model, feats, geo):
+        mgr = ME.CoordinateManager.from_geometry(geo)     # trace-time view
+        xt = ME.SparseTensor(feats, coordinate_map_key=geo.entry_key,
+                             coordinate_manager=mgr)
+        ...                                               # cache-hit reuse
+
+All static identification (map keys, kernel-map cache keys, slab/grid shape
+ladders) lives in aux data; everything data-dependent (coordinates, packed
+keys, index matrices, valid-row counts) is a leaf.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+
+from .manager import CoordinateMapKey
+
+
+def _sorted_items(d: dict):
+    return sorted(d.items(), key=lambda kv: repr(kv[0]))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class Geometry:
+    """Snapshot of a manager's coordinate/kernel-map caches.
+
+    maps / kernel_maps / stride_maps / dense_plans are leaves-bearing
+    (values are pytrees); their keys, plus origin_keys and the entry key,
+    are static aux.
+    """
+
+    D: int
+    maps: Dict[tuple, object]
+    kernel_maps: Dict[tuple, object]
+    stride_maps: Dict[tuple, object]
+    dense_plans: Dict[tuple, object]
+    origin_keys: Dict[tuple, tuple]  # static: in key-tuple -> origin key-tuple
+    entry_key_tuple: Optional[Tuple[Tuple[int, ...], str]] = None
+
+    @property
+    def entry_key(self) -> CoordinateMapKey:
+        """The key of the first inserted map (the network input)."""
+        if self.entry_key_tuple is None:
+            raise ValueError("Geometry has no recorded entry map")
+        return CoordinateMapKey(*self.entry_key_tuple)
+
+    def tree_flatten(self):
+        m = _sorted_items(self.maps)
+        k = _sorted_items(self.kernel_maps)
+        s = _sorted_items(self.stride_maps)
+        p = _sorted_items(self.dense_plans)
+        children = (
+            [v for _, v in m],
+            [v for _, v in k],
+            [v for _, v in s],
+            [v for _, v in p],
+        )
+        aux = (
+            self.D,
+            tuple(key for key, _ in m),
+            tuple(key for key, _ in k),
+            tuple(key for key, _ in s),
+            tuple(key for key, _ in p),
+            tuple(_sorted_items(self.origin_keys)),
+            self.entry_key_tuple,
+        )
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        D, mk, kk, sk, pk, origin_items, entry = aux
+        mv, kv, sv, pv = children
+        return cls(
+            D=D,
+            maps=dict(zip(mk, mv)),
+            kernel_maps=dict(zip(kk, kv)),
+            stride_maps=dict(zip(sk, sv)),
+            dense_plans=dict(zip(pk, pv)),
+            origin_keys=dict(origin_items),
+            entry_key_tuple=entry,
+        )
+
+
+def stack_geometries(geometries: List[Geometry]) -> Geometry:
+    """Stack same-structure geometries along a new leading device axis.
+
+    All geometries must share treedef (same model recipe, same capacity
+    buckets — pad inputs to a common bucket if needed).  The result's array
+    leaves have shape (n_devices, ...) and can be device_put with a
+    ``P("data")`` sharding for per-device-geometry data parallelism.
+    """
+    import jax.numpy as jnp
+
+    leaves0, treedef = jax.tree.flatten(geometries[0])
+    stacked = []
+    for i in range(len(leaves0)):
+        stacked.append(
+            jnp.stack([jax.tree.flatten(g)[0][i] for g in geometries])
+        )
+    return jax.tree.unflatten(treedef, stacked)
+
+
+def index_geometry(geo: Geometry, i) -> Geometry:
+    """Take slice ``i`` of a stacked Geometry (inside shard_map, i=0 after
+    the leading device axis is sharded away use ``squeeze_geometry``)."""
+    return jax.tree.map(lambda v: v[i], geo)
+
+
+def squeeze_geometry(geo: Geometry) -> Geometry:
+    """Drop a leading singleton device axis (inside shard_map bodies)."""
+    return jax.tree.map(lambda v: v[0], geo)
+
+
+class GeometryReplayer:
+    """Per-batch coordinate-phase replayer with shape-stability ratchets.
+
+    Usage (fresh-geometry training)::
+
+        x = ME.SparseTensor(feats0, coords0)
+        _ = net(x)                                  # warm + record
+        replayer = GeometryReplayer(x.coordinate_manager)
+
+        for coords, feats in batches:
+            mgr = replayer(coords)                  # coordinate phase only
+            geo = mgr.export_geometry()
+            fp = mgr.reduce_features(geo.entry_key, feats)
+            loss = jitted_step(model, fp, geo)      # compile-cache hit
+
+    The replayer carries capacity and slab-rung floors forward so that leaf
+    shapes and static aux stay identical across batches once the ratchets
+    settle — after the first couple of batches the jitted step stops
+    retracing entirely.
+    """
+
+    def __init__(self, recorded_manager):
+        self.oplog = recorded_manager.oplog()
+        self.cap_floors = dict(recorded_manager._cap_floors)
+        self.slab_floors = dict(recorded_manager._slab_floors)
+        self.grid_floors = dict(recorded_manager._grid_floors)
+
+    def __call__(self, coordinates, tensor_stride=1):
+        from .manager import CoordinateManager
+
+        mgr = CoordinateManager.replay(
+            self.oplog,
+            coordinates,
+            tensor_stride,
+            cap_floors=self.cap_floors,
+            slab_floors=self.slab_floors,
+            grid_floors=self.grid_floors,
+        )
+        self.cap_floors.update(mgr._cap_floors)
+        self.slab_floors.update(mgr._slab_floors)
+        self.grid_floors.update(mgr._grid_floors)
+        return mgr

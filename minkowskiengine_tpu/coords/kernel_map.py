@@ -57,10 +57,16 @@ class KernelMap:
 
     in_idx: jnp.ndarray  # (K, C_out) int32, -1 = no pair
     out_idx_t: jnp.ndarray  # (K, C_in) int32, -1 = no pair
-    n_in: int
-    n_out: int
+    n_in: jnp.ndarray  # int32 scalar leaf (valid in rows)
+    n_out: jnp.ndarray  # int32 scalar leaf (valid out rows)
     fwd_slab: object = None  # SlabMap over in_idx
     bwd_slab: object = None  # SlabMap over out_idx_t
+
+    def __post_init__(self):
+        for name in ("n_in", "n_out"):
+            v = getattr(self, name)
+            if isinstance(v, (int, np.integer)):
+                object.__setattr__(self, name, jnp.asarray(v, jnp.int32))
 
     @property
     def kernel_volume(self) -> int:
@@ -102,14 +108,20 @@ class KernelMap:
 
     def tree_flatten(self):
         return (
-            (self.in_idx, self.out_idx_t, self.fwd_slab, self.bwd_slab),
-            (self.n_in, self.n_out),
+            (
+                self.in_idx,
+                self.out_idx_t,
+                self.n_in,
+                self.n_out,
+                self.fwd_slab,
+                self.bwd_slab,
+            ),
+            (),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        in_idx, out_idx_t, fwd_slab, bwd_slab = children
-        n_in, n_out = aux
+        in_idx, out_idx_t, n_in, n_out, fwd_slab, bwd_slab = children
         return cls(in_idx, out_idx_t, n_in, n_out, fwd_slab, bwd_slab)
 
 
@@ -168,6 +180,8 @@ def build_kernel_map(
     in_map: CoordinateMap,
     out_map: CoordinateMap,
     offsets: np.ndarray,
+    slab_floor: Tuple[int, int] = (0, 0),
+    defer_slabs: bool = False,
 ) -> KernelMap:
     """Build the dense kernel map for absolute coordinate ``offsets``.
 
@@ -185,9 +199,9 @@ def build_kernel_map(
     in_idx = _build_in_idx(
         in_map.key_hi,
         in_map.key_lo,
-        jnp.int32(in_map.size),
+        in_map.size_arr,
         out_map.coordinates,
-        jnp.int32(out_map.size),
+        out_map.size_arr,
         jnp.asarray(offsets),
     )
     out_idx_t = _invert_matching(in_idx, in_map.capacity)
@@ -201,13 +215,22 @@ def build_kernel_map(
     # row dimension: in_idx is (K, C_out), out_idx_t is (K, C_in))
     fwd_span_dev = measure_spans(in_idx, slab_tile(in_idx.shape[1]))
     bwd_span_dev = measure_spans(out_idx_t, slab_tile(out_idx_t.shape[1]))
+    if defer_slabs:
+        # caller batches the span syncs and attaches slabs in a finalize
+        # pass (deferred replay: ONE host round trip for the whole phase)
+        kmap = KernelMap(
+            in_idx, out_idx_t, in_map.size_arr, out_map.size_arr, None, None
+        )
+        return kmap, fwd_span_dev, bwd_span_dev
     fwd_span, bwd_span = jax.device_get((fwd_span_dev, bwd_span_dev))
-    fwd_slab = build_slab_map_from_span(in_idx, in_map.capacity, int(fwd_span))
+    fwd_slab = build_slab_map_from_span(
+        in_idx, in_map.capacity, int(fwd_span), min_slab=slab_floor[0]
+    )
     bwd_slab = build_slab_map_from_span(
-        out_idx_t, out_map.capacity, int(bwd_span)
+        out_idx_t, out_map.capacity, int(bwd_span), min_slab=slab_floor[1]
     )
     return KernelMap(
-        in_idx, out_idx_t, in_map.size, out_map.size, fwd_slab, bwd_slab
+        in_idx, out_idx_t, in_map.size_arr, out_map.size_arr, fwd_slab, bwd_slab
     )
 
 
@@ -235,8 +258,8 @@ def build_stride_map(
     return _build_stride_in_to_out(
         out_map.key_hi,
         out_map.key_lo,
-        jnp.int32(out_map.size),
+        out_map.size_arr,
         in_map.coordinates,
-        jnp.int32(in_map.size),
+        in_map.size_arr,
         stride,
     )

@@ -60,6 +60,11 @@ def set_coordinate_map_type(map_type) -> None:
     there is a single TPU coordinate-map implementation."""
 
 
+class CapacityFloorExceeded(RuntimeError):
+    """A deferred-sync replay found more unique rows than the ratcheted
+    capacity floor — the caller must replay in sync mode (floors updated)."""
+
+
 class CoordinateMapKey:
     """Handle identifying a coordinate map inside a manager.
 
@@ -253,6 +258,36 @@ class CoordinateManager:
         self._field_to_sparse: Dict[tuple, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         self._interp_cache: Dict[tuple, tuple] = {}
         self._id_counter = itertools.count()
+        # coordinate-op recording (geometry replay for fresh-geometry
+        # training); frozen view managers (from_geometry) can't build.
+        self._oplog: List[tuple] = []
+        self._frozen = False
+        self._entry_key: Optional[CoordinateMapKey] = None
+        # shape-stability ratchets (largest capacity / slab rung seen for a
+        # logical map across geometry replays — see GeometryReplayer)
+        self._cap_floors: Dict[tuple, int] = {}
+        self._slab_floors: Dict[tuple, Tuple[int, int]] = {}
+        self._grid_floors: Dict[tuple, tuple] = {}
+        # (unique_map, inverse_map, n_in, n_unique) per inserted map key
+        self._insert_results: Dict[tuple, tuple] = {}
+        # deferred-sync replay state (see _finalize_deferred)
+        self._deferred: Optional[dict] = None
+
+    def _record(self, *entry) -> None:
+        if not self._frozen:
+            self._oplog.append(entry)
+
+    def _check_not_frozen(self, what: str) -> None:
+        if self._frozen:
+            raise RuntimeError(
+                f"cannot build {what}: this manager is a frozen Geometry "
+                "view — the op was not in the recorded coordinate phase "
+                "(re-run the eager warm forward to record it)"
+            )
+
+    def oplog(self) -> List[tuple]:
+        """The recorded coordinate-op recipe (see coords/geometry.py)."""
+        return list(self._oplog)
 
     # ------------------------------------------------------------------
     # map bookkeeping
@@ -283,6 +318,10 @@ class CoordinateManager:
 
     def size(self, key: CoordinateMapKey) -> int:
         return self._get_map(key).size
+
+    def size_array(self, key: CoordinateMapKey):
+        """Valid-row count as a traceable int32 scalar (pytree leaf)."""
+        return self._get_map(key).size_arr
 
     def capacity(self, key: CoordinateMapKey) -> int:
         return self._get_map(key).capacity
@@ -323,7 +362,31 @@ class CoordinateManager:
 
         Returns (key, padded unique_map, padded inverse_map, n_unique).
         """
+        self._check_not_frozen("a coordinate map")
         res, u_coords, overflow, bbox = unique_coordinates(coords, valid)
+        sid = self._unique_string_id(tensor_stride, string_id)
+        floor_key = (tensor_stride, sid)
+
+        if self._deferred is not None and floor_key in self._cap_floors:
+            # Deferred-sync path: trust the ratcheted capacity floor, keep
+            # the count on device, and let _finalize_deferred do ONE host
+            # round trip for the whole coordinate phase.  If the floor
+            # turns out too small (valid rows would be truncated), finalize
+            # raises CapacityFloorExceeded and the caller replays in sync
+            # mode (ratcheting the floor).
+            cap = self._cap_floors[floor_key]
+            cmap = CoordinateMap.from_sorted(
+                u_coords, res.sorted_hi, res.sorted_lo, 0,
+                tensor_stride, capacity=cap,
+            ).with_size_arr(res.n_unique)
+            key = CoordinateMapKey(tensor_stride, sid)
+            self._maps[key.get_key()] = cmap
+            self._deferred["sizes"].append(
+                (key.get_key(), floor_key, res.n_unique, overflow)
+            )
+            self._deferred["bboxes"].append((key.get_key(), bbox))
+            return key, res.unique_map, res.inverse_map, None
+
         # one host sync for everything (each isolated sync costs ~30 ms
         # through the TPU tunnel once pallas kernels have run); the bbox
         # is stashed for dense_plan so it never needs its own sync
@@ -336,9 +399,17 @@ class CoordinateManager:
                 "Coordinate out of packed-key range for dimension "
                 f"{self.D}; see coords/keys.py field_ranges"
             )
-        sid = self._unique_string_id(tensor_stride, string_id)
+        cap = max(
+            bucket_capacity(n_unique), self._cap_floors.get(floor_key, 0)
+        )
+        self._cap_floors[floor_key] = cap
         cmap = CoordinateMap.from_sorted(
-            u_coords, res.sorted_hi, res.sorted_lo, n_unique, tensor_stride
+            u_coords,
+            res.sorted_hi,
+            res.sorted_lo,
+            n_unique,
+            tensor_stride,
+            capacity=cap,
         )
         key = CoordinateMapKey(tensor_stride, sid)
         self._maps[key.get_key()] = cmap
@@ -369,6 +440,12 @@ class CoordinateManager:
         coords = _pad_rows(coords, cap)
         key, unique_map, inverse_map, n_unique = self._register_unique(
             coords, prefix_mask(cap, n), ts, string_id
+        )
+        self._record("insert", ts, string_id, key.get_key())
+        if self._entry_key is None:
+            self._entry_key = key
+        self._insert_results[key.get_key()] = (
+            unique_map, inverse_map, n, n_unique,
         )
         return key, unique_map, inverse_map, n, n_unique
 
@@ -437,6 +514,7 @@ class CoordinateManager:
         new_key, _, _, _ = self._register_unique(
             strided, in_map.valid_mask(), out_ts, string_id
         )
+        self._record("stride", key.get_key(), s, string_id)
         return new_key
 
     def stride_region(
@@ -474,6 +552,17 @@ class CoordinateManager:
             jnp.asarray(np.asarray(out_ts, np.int32)),
         )
         new_key, _, _, _ = self._register_unique(cand, valid, out_ts, string_id)
+        self._record(
+            "stride_region",
+            key.get_key(),
+            int(region.region_type),
+            region.offsets.tobytes(),
+            region.offsets.shape,
+            out_ts,
+            bool(expand_coordinates),
+            bool(is_transpose),
+            string_id,
+        )
         return new_key
 
     def origin(self, key: CoordinateMapKey) -> CoordinateMapKey:
@@ -492,6 +581,7 @@ class CoordinateManager:
             ocoords, in_map.valid_mask(), origin_ts, f"origin-{k[1]}"
         )
         self._origin_keys[k] = new_key
+        self._record("origin", k)
         return new_key
 
     def origin_field(self, key: CoordinateMapKey) -> CoordinateMapKey:
@@ -555,6 +645,7 @@ class CoordinateManager:
         coords = jnp.concatenate([m.coordinates for m in maps], axis=0)
         valid = jnp.concatenate([m.valid_mask() for m in maps], axis=0)
         new_key, _, _, _ = self._register_unique(coords, valid, ts, "merged")
+        self._record("merge", tuple(k.get_key() for k in keys))
         return new_key
 
     def union_map(
@@ -573,9 +664,9 @@ class CoordinateManager:
             rows = find_coordinates(
                 out_map.key_hi,
                 out_map.key_lo,
-                jnp.int32(out_map.size),
+                out_map.size_arr,
                 im.coordinates,
-                jnp.int32(im.size),
+                im.size_arr,
             )
             result.append(rows)
         return result
@@ -623,6 +714,7 @@ class CoordinateManager:
         )
         if cache_key in self._kernel_maps:
             return self._kernel_maps[cache_key]
+        self._check_not_frozen("a kernel map")
 
         in_map = self._get_map(in_key)
         out_map = self._get_map(out_key)
@@ -637,7 +729,16 @@ class CoordinateManager:
                 offs = region_offsets_for(
                     region_type, ks, dil, in_map.tensor_stride, region_offsets
                 )
-                kmap = build_kernel_map(in_map, out_map, offs)
+                if self._deferred is not None:
+                    kmap, fs, bs = build_kernel_map(
+                        in_map, out_map, offs, defer_slabs=True
+                    )
+                    self._deferred["slabs"].append((cache_key, fs, bs))
+                else:
+                    kmap = build_kernel_map(
+                        in_map, out_map, offs,
+                        slab_floor=self._slab_floors.get(cache_key, (0, 0)),
+                    )
         else:
             swapped_key = (
                 out_key.get_key(),
@@ -663,9 +764,38 @@ class CoordinateManager:
                 offs = region_offsets_for(
                     region_type, ks, dil, out_map.tensor_stride, region_offsets
                 )
-                kmap = build_kernel_map(out_map, in_map, offs).swap()
+                if self._deferred is not None:
+                    built, fs, bs = build_kernel_map(
+                        out_map, in_map, offs, defer_slabs=True
+                    )
+                    kmap = built.swap()
+                    # cached orientation: fwd spans = built bwd, and v.v.
+                    self._deferred["slabs"].append((cache_key, bs, fs))
+                else:
+                    floor = self._slab_floors.get(cache_key, (0, 0))
+                    kmap = build_kernel_map(
+                        out_map, in_map, offs, slab_floor=(floor[1], floor[0])
+                    ).swap()
 
         self._kernel_maps[cache_key] = kmap
+        if kmap.fwd_slab is not None and kmap.bwd_slab is not None:
+            prev = self._slab_floors.get(cache_key, (0, 0))
+            self._slab_floors[cache_key] = (
+                max(prev[0], kmap.fwd_slab.slab_size),
+                max(prev[1], kmap.bwd_slab.slab_size),
+            )
+        self._record(
+            "kernel_map",
+            in_key.get_key(),
+            out_key.get_key(),
+            s,
+            ks,
+            dil,
+            int(region_type),
+            None if off_key is None else (off_key, np.asarray(region_offsets, np.int32).shape),
+            bool(is_transpose),
+            bool(is_pool),
+        )
         return kmap
 
     def _stride_map_array(
@@ -674,11 +804,13 @@ class CoordinateManager:
         """(C_in,) int32 out-row per in-row, cached."""
         ck = (in_key.get_key(), out_key.get_key())
         if ck not in self._stride_maps:
+            self._check_not_frozen("a stride map")
             in_map = self._get_map(in_key)
             out_map = self._get_map(out_key)
             self._stride_maps[ck] = build_stride_map(
                 in_map, out_map, out_map.tensor_stride
             )
+            self._record("stride_map", in_key.get_key(), out_key.get_key())
         return self._stride_maps[ck]
 
     def stride_map(
@@ -731,17 +863,19 @@ class CoordinateManager:
         origin_key = self.origin(key)
         ck = (key.get_key(), origin_key.get_key())
         if ck not in self._stride_maps:
+            self._check_not_frozen("an origin map")
             in_map = self._get_map(key)
             origin = self._get_map(origin_key)
             ocoords = _origin_coords(in_map.coordinates, in_map.valid_mask())
             rows = find_coordinates(
                 origin.key_hi,
                 origin.key_lo,
-                jnp.int32(origin.size),
+                origin.size_arr,
                 ocoords,
-                jnp.int32(in_map.size),
+                in_map.size_arr,
             )
             self._stride_maps[ck] = rows
+            self._record("origin_map", key.get_key())
         return origin_key, self._stride_maps[ck]
 
     def number_of_unique_batch_indices(self, key: CoordinateMapKey) -> int:
@@ -854,13 +988,299 @@ class CoordinateManager:
         conv dispatch, ops/dense_conv.py).  None if the map is empty."""
         ck = ("dense_plan", key.get_key())
         if ck not in self._interp_cache:
+            self._check_not_frozen("a dense plan")
+            if self._deferred is not None:
+                self._deferred["plans"].append(key.get_key())
+                self._record("dense_plan", key.get_key())
+                return None  # materialized in _finalize_deferred
             from ..ops.dense_conv import build_dense_plan
 
             bbox = self._interp_cache.get(("bbox", key.get_key()))
             self._interp_cache[ck] = build_dense_plan(
-                self._get_map(key), bbox=bbox
+                self._get_map(key),
+                bbox=bbox,
+                extent_floor=self._grid_floors.get(key.get_key()),
             )
+            plan = self._interp_cache[ck]
+            if plan is not None:
+                self._grid_floors[key.get_key()] = plan.grid_shape
+            self._record("dense_plan", key.get_key())
         return self._interp_cache[ck]
+
+    def _begin_deferred(self):
+        self._deferred = {"sizes": [], "bboxes": [], "slabs": [], "plans": []}
+
+    def _finalize_deferred(self):
+        """ONE host round trip resolving every deferred scalar, then attach
+        host sizes, bboxes, slab metadata, and dense plans."""
+        d, self._deferred = self._deferred, None
+        if d is None:
+            return
+        payload = jax.device_get((
+            [(t[2], t[3]) for t in d["sizes"]],
+            [(t[1], t[2]) for t in d["slabs"]],
+            [t[1] for t in d["bboxes"]],
+        ))
+        sizes_h, spans_h, bbox_h = payload
+        for (key_t, floor_key, _, _), (n, ovf) in zip(d["sizes"], sizes_h):
+            if bool(ovf):
+                raise ValueError(
+                    "Coordinate out of packed-key range for dimension "
+                    f"{self.D}; see coords/keys.py field_ranges"
+                )
+            n = int(n)
+            cmap = self._maps[key_t]
+            if n > cmap.capacity:
+                # floor too small: valid rows were truncated — ratchet and
+                # have the caller replay in sync mode
+                self._cap_floors[floor_key] = bucket_capacity(n)
+                raise CapacityFloorExceeded(
+                    f"map {key_t}: {n} rows > floored capacity "
+                    f"{cmap.capacity}"
+                )
+            object.__setattr__(cmap, "_size_host", n)
+            self._cap_floors[floor_key] = max(
+                self._cap_floors.get(floor_key, 0), bucket_capacity(n)
+            )
+        for (key_t, _), b in zip(d["bboxes"], bbox_h):
+            self._interp_cache[("bbox", key_t)] = np.asarray(b)
+        from ..ops.pallas.conv_kernel import build_slab_map_from_span
+
+        for (cache_key, _, _), (fs, bs) in zip(d["slabs"], spans_h):
+            kmap = self._kernel_maps[cache_key]
+            floor = self._slab_floors.get(cache_key, (0, 0))
+            fwd = build_slab_map_from_span(
+                kmap.in_idx, kmap.capacity_in, int(fs), min_slab=floor[0]
+            )
+            bwd = build_slab_map_from_span(
+                kmap.out_idx_t, kmap.capacity_out, int(bs), min_slab=floor[1]
+            )
+            self._kernel_maps[cache_key] = KernelMap(
+                kmap.in_idx, kmap.out_idx_t, kmap.n_in, kmap.n_out, fwd, bwd
+            )
+            self._slab_floors[cache_key] = (
+                max(floor[0], fwd.slab_size if fwd else 0),
+                max(floor[1], bwd.slab_size if bwd else 0),
+            )
+        from ..ops.dense_conv import build_dense_plan
+
+        for key_t in d["plans"]:
+            bbox = self._interp_cache.get(("bbox", key_t))
+            plan = build_dense_plan(
+                self._maps[key_t],
+                bbox=bbox,
+                extent_floor=self._grid_floors.get(key_t),
+            )
+            self._interp_cache[("dense_plan", key_t)] = plan
+            if plan is not None:
+                self._grid_floors[key_t] = plan.grid_shape
+
+    def reduce_features(self, key: CoordinateMapKey, features, quantization_mode=None):
+        """Features (N_in, ch) → padded map-ordered (capacity, ch) buffer,
+        reduced by the quantization mode (the SparseTensor-ctor reduction,
+        reusable after ``replay`` where the insert already happened)."""
+        from ..ops import functional as F
+        from ..types import SparseTensorQuantizationMode as Q
+
+        if quantization_mode is None:
+            quantization_mode = Q.RANDOM_SUBSAMPLE
+        res = self._insert_results.get(key.get_key())
+        if res is None:
+            raise KeyError(f"no insert recorded for {key.get_key()}")
+        unique_map, inverse_map, n_in, n_unique = res
+        cap_out = self.capacity(key)
+        feats = jnp.asarray(features)
+        pad = jnp.zeros(
+            (unique_map.shape[0] - feats.shape[0],) + feats.shape[1:],
+            feats.dtype,
+        )
+        feats_padded = jnp.concatenate([feats, pad])
+        if quantization_mode in (Q.RANDOM_SUBSAMPLE, Q.NO_QUANTIZATION):
+            return F.take_rows(feats_padded, unique_map)[:cap_out]
+        if quantization_mode == Q.UNWEIGHTED_AVERAGE:
+            return F.segment_mean(feats_padded, inverse_map, cap_out)
+        if quantization_mode == Q.UNWEIGHTED_SUM:
+            return F.segment_sum(feats_padded, inverse_map, cap_out)
+        if quantization_mode == Q.MAX_POOL:
+            return F.segment_max(feats_padded, inverse_map, cap_out)
+        raise ValueError(f"Unsupported quantization mode {quantization_mode}")
+
+    # ------------------------------------------------------------------
+    # geometry export / replay (coords/geometry.py)
+    # ------------------------------------------------------------------
+    def export_geometry(self):
+        """Snapshot the cached coordinate state as a traceable pytree."""
+        from .geometry import Geometry
+
+        plans = {
+            ck[1]: v
+            for ck, v in self._interp_cache.items()
+            if isinstance(ck, tuple) and ck and ck[0] == "dense_plan"
+        }
+        return Geometry(
+            D=self.D,
+            maps=dict(self._maps),
+            kernel_maps=dict(self._kernel_maps),
+            stride_maps=dict(self._stride_maps),
+            dense_plans=plans,
+            origin_keys={
+                k: v.get_key() for k, v in self._origin_keys.items()
+            },
+            entry_key_tuple=(
+                self._entry_key.get_key() if self._entry_key else None
+            ),
+        )
+
+    @classmethod
+    def from_geometry(cls, geometry) -> "CoordinateManager":
+        """Frozen view manager over a Geometry pytree.
+
+        Trace-safe: construction touches no device data; all lookups hit
+        the geometry's caches; any build attempt raises.
+        """
+        mgr = cls(D=geometry.D)
+        mgr._maps = dict(geometry.maps)
+        mgr._kernel_maps = dict(geometry.kernel_maps)
+        mgr._stride_maps = dict(geometry.stride_maps)
+        mgr._origin_keys = {
+            k: CoordinateMapKey(*v) for k, v in geometry.origin_keys.items()
+        }
+        for k, plan in geometry.dense_plans.items():
+            mgr._interp_cache[("dense_plan", k)] = plan
+        if geometry.entry_key_tuple is not None:
+            mgr._entry_key = CoordinateMapKey(*geometry.entry_key_tuple)
+        mgr._frozen = True
+        return mgr
+
+    @classmethod
+    def replay(
+        cls,
+        oplog: Sequence[tuple],
+        coordinates,
+        tensor_stride=1,
+        cap_floors: Optional[Dict[tuple, int]] = None,
+        slab_floors: Optional[Dict[tuple, Tuple[int, int]]] = None,
+        grid_floors: Optional[Dict[tuple, tuple]] = None,
+        deferred: Optional[bool] = None,
+    ) -> "CoordinateManager":
+        """Re-run a recorded coordinate-op recipe against new coordinates.
+
+        This is the fresh-geometry training path: record the coordinate ops
+        once (first eager forward), then per batch replay them — no model
+        forward, no per-layer eager overhead — and export the result as a
+        Geometry argument for the jitted step.
+
+        When capacity floors are available (``deferred`` defaults on then),
+        the whole phase runs with ONE host round trip: every map is built at
+        its floored capacity with device-scalar counts, spans/bboxes queue
+        up, and a single finalize sync resolves them.  If a floor proves too
+        small the replay transparently re-runs in sync mode (ratcheting).
+
+        ``coordinates``: one (N, D+1) array, or a list with one entry per
+        recorded ``insert`` (models that insert several coordinate sets).
+        """
+        if deferred is None:
+            deferred = bool(cap_floors)
+        if deferred:
+            try:
+                return cls._replay_once(
+                    oplog, coordinates, tensor_stride,
+                    cap_floors, slab_floors, grid_floors, True,
+                )
+            except CapacityFloorExceeded:
+                pass  # sync replay below recomputes and ratchets floors
+        return cls._replay_once(
+            oplog, coordinates, tensor_stride,
+            cap_floors, slab_floors, grid_floors, False,
+        )
+
+    @classmethod
+    def _replay_once(
+        cls, oplog, coordinates, tensor_stride,
+        cap_floors, slab_floors, grid_floors, use_deferred,
+    ) -> "CoordinateManager":
+        if not isinstance(coordinates, (list, tuple)):
+            coordinates = [coordinates]
+        coords_iter = iter(coordinates)
+        mgr = None
+        for entry in oplog:
+            op = entry[0]
+            if op == "insert":
+                _, ts, sid, produced = entry
+                c = next(coords_iter)
+                if mgr is None:
+                    mgr = cls(D=int(np.asarray(c).shape[1]) - 1)
+                    if cap_floors:
+                        mgr._cap_floors.update(cap_floors)
+                    if slab_floors:
+                        mgr._slab_floors.update(slab_floors)
+                    if grid_floors:
+                        mgr._grid_floors.update(grid_floors)
+                    if use_deferred:
+                        mgr._begin_deferred()
+                key, _, _, _, _ = mgr.insert_and_map_padded(c, ts, sid)
+                if key.get_key() != produced:
+                    raise RuntimeError(
+                        f"replay produced key {key.get_key()}, recorded "
+                        f"{produced} — op order diverged"
+                    )
+                continue
+            if mgr is None:
+                raise RuntimeError("oplog does not start with an insert")
+            if op == "stride":
+                _, in_k, stride, sid = entry
+                mgr.stride(CoordinateMapKey(*in_k), stride, sid)
+            elif op == "stride_region":
+                (_, in_k, rtype, off_bytes, off_shape, out_ts, expand,
+                 is_t, sid) = entry
+                offsets = np.frombuffer(off_bytes, np.int32).reshape(off_shape)
+                region = KernelRegion(RegionType(rtype), offsets)
+                mgr.stride_region(
+                    CoordinateMapKey(*in_k), region, out_ts, expand, is_t, sid
+                )
+            elif op == "origin":
+                _, in_k = entry
+                mgr.origin(CoordinateMapKey(*in_k))
+            elif op == "origin_map":
+                _, in_k = entry
+                mgr.origin_map(CoordinateMapKey(*in_k))
+            elif op == "kernel_map":
+                (_, in_k, out_k, stride, ks, dil, rtype, off, is_t,
+                 is_pool) = entry
+                region_offs = (
+                    None
+                    if off is None
+                    else np.frombuffer(off[0], np.int32).reshape(off[1])
+                )
+                mgr.kernel_map(
+                    CoordinateMapKey(*in_k),
+                    CoordinateMapKey(*out_k),
+                    stride,
+                    ks,
+                    dil,
+                    RegionType(rtype),
+                    region_offs,
+                    is_t,
+                    is_pool,
+                )
+            elif op == "stride_map":
+                _, in_k, out_k = entry
+                mgr._stride_map_array(
+                    CoordinateMapKey(*in_k), CoordinateMapKey(*out_k)
+                )
+            elif op == "merge":
+                _, key_tuples = entry
+                mgr.merge([CoordinateMapKey(*k) for k in key_tuples])
+            elif op == "dense_plan":
+                _, in_k = entry
+                mgr.dense_plan(CoordinateMapKey(*in_k))
+            else:
+                raise RuntimeError(f"unknown oplog entry {op!r}")
+        if mgr is None:
+            raise RuntimeError("empty oplog")
+        if use_deferred:
+            mgr._finalize_deferred()
+        return mgr
 
     def clear(self):
         self._maps.clear()
@@ -904,7 +1324,7 @@ def _stride_map_to_kernel_map(
     in_idx, out_idx_t = _scatter_slots(
         in_to_out, rank, kmax, in_map.capacity, out_map.capacity
     )
-    return KernelMap(in_idx, out_idx_t, in_map.size, out_map.size)
+    return KernelMap(in_idx, out_idx_t, in_map.size_arr, out_map.size_arr)
 
 
 @jax.jit

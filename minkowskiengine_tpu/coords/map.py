@@ -42,16 +42,36 @@ class CoordinateMap:
       coordinates: (C, D+1) int32, batch-first rows in ascending key order;
         rows >= size are zero.
       key_hi / key_lo: (C,) uint32 packed keys; padding rows hold the max key.
-      size: python int — number of valid rows (host-known; coordinate-phase
-        operations are host-driven, mirroring the reference's C++ manager).
-      tensor_stride: D-tuple of ints.
+      size_arr: int32 scalar — valid-row count as a pytree LEAF, so a
+        compiled step is reusable across geometries of the same capacity
+        bucket and stacked per-device maps can flow as sharded arguments
+        (the count differs per device).  ``size`` lazily mirrors it to a
+        host int for eager coordinate-phase code (one cached sync).
+      tensor_stride: D-tuple of ints (static aux).
     """
 
     coordinates: jnp.ndarray
     key_hi: jnp.ndarray
     key_lo: jnp.ndarray
-    size: int
+    size_arr: jnp.ndarray
     tensor_stride: Tuple[int, ...]
+    _size_host: Optional[int] = dataclasses.field(
+        default=None, compare=False, repr=False
+    )
+
+    def __post_init__(self):
+        if isinstance(self.size_arr, (int, np.integer)):
+            object.__setattr__(self, "_size_host", int(self.size_arr))
+            object.__setattr__(
+                self, "size_arr", jnp.asarray(self.size_arr, jnp.int32)
+            )
+
+    @property
+    def size(self) -> int:
+        """Host valid-row count (syncs once; unavailable under trace)."""
+        if self._size_host is None:
+            object.__setattr__(self, "_size_host", int(self.size_arr))
+        return self._size_host
 
     @property
     def capacity(self) -> int:
@@ -66,20 +86,22 @@ class CoordinateMap:
         return self.coordinates[:, 0]
 
     def valid_mask(self) -> jnp.ndarray:
-        return jnp.arange(self.capacity, dtype=jnp.int32) < self.size
+        return jnp.arange(self.capacity, dtype=jnp.int32) < self.size_arr
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
+        # _size_host deliberately NOT in aux: aux is part of the jit cache
+        # key and must be identical across same-bucket geometries.
         return (
-            (self.coordinates, self.key_hi, self.key_lo),
-            (self.size, self.tensor_stride),
+            (self.coordinates, self.key_hi, self.key_lo, self.size_arr),
+            (self.tensor_stride,),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coordinates, key_hi, key_lo = children
-        size, tensor_stride = aux
-        return cls(coordinates, key_hi, key_lo, size, tensor_stride)
+        coordinates, key_hi, key_lo, size_arr = children
+        (tensor_stride,) = aux
+        return cls(coordinates, key_hi, key_lo, size_arr, tensor_stride)
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -107,6 +129,13 @@ class CoordinateMap:
             key_hi = jnp.concatenate([key_hi, jnp.full((cap - cur,), pad_hi, jnp.uint32)])
             key_lo = jnp.concatenate([key_lo, jnp.full((cap - cur,), pad_lo, jnp.uint32)])
         return cls(coordinates, key_hi, key_lo, int(size), tuple(tensor_stride))
+
+    def with_size_arr(self, size_arr: jnp.ndarray) -> "CoordinateMap":
+        """Same buffers with a device-scalar size (deferred-sync paths)."""
+        return CoordinateMap(
+            self.coordinates, self.key_hi, self.key_lo,
+            jnp.asarray(size_arr, jnp.int32), self.tensor_stride,
+        )
 
     def to_numpy(self) -> np.ndarray:
         """Valid coordinate rows as a host (size, D+1) array."""

@@ -33,7 +33,7 @@ class MinkowskiNonlinearityBase(MinkowskiModuleBase):
     def __call__(self, input):
         out = self._fn(input.padded_features)
         if not self.preserves_zero:
-            n = input.size
+            n = input.size_array
             mask = jnp.arange(out.shape[0]) < n
             out = jnp.where(mask[:, None], out, 0.0)
         return input._wrap(out)
@@ -223,7 +223,7 @@ class MinkowskiSinusoidal(MinkowskiModuleBase):
 
     def __call__(self, input):
         out = jnp.cos(input.padded_features @ self.kernel[...])
-        n = input.size
+        n = input.size_array
         mask = jnp.arange(out.shape[0]) < n
         out = jnp.where(mask[:, None], out, 0.0)
         return input._wrap(out)

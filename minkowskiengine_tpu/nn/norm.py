@@ -85,7 +85,7 @@ class MinkowskiBatchNorm(MinkowskiModuleBase):
         var = jnp.maximum(sq / count - mean * mean, 0.0)
         return mean, var, count
 
-    def _apply(self, feats: jnp.ndarray, n_valid: int) -> jnp.ndarray:
+    def _apply(self, feats: jnp.ndarray, n_valid) -> jnp.ndarray:
         in_dtype = feats.dtype
         feats = feats.astype(jnp.float32)  # f32 statistics under bf16 compute
         mask = jnp.arange(feats.shape[0]) < n_valid
@@ -108,7 +108,7 @@ class MinkowskiBatchNorm(MinkowskiModuleBase):
         return jnp.where(mask[:, None], out, 0.0).astype(in_dtype)
 
     def __call__(self, input):
-        out = self._apply(input.padded_features, input.size)
+        out = self._apply(input.padded_features, input.size_array)
         return input._wrap(out)
 
     def __repr__(self):

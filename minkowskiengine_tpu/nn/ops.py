@@ -47,7 +47,7 @@ class MinkowskiLinear(MinkowskiModuleBase):
         out = feats @ self.weight[...].astype(feats.dtype)
         if self.bias is not None:
             out = out + self.bias[...].astype(out.dtype)
-            n = input.size
+            n = input.size_array
             mask = jnp.arange(out.shape[0]) < n
             out = jnp.where(mask[:, None], out, 0.0)
         return input._wrap(out)

@@ -77,12 +77,16 @@ def _flat_indices(coords, valid, mins, extents_arr, tensor_stride):
     return jnp.where(valid, flat.astype(jnp.int32), -1)
 
 
-def build_dense_plan(coordinate_map, bbox=None) -> Optional[DensePlan]:
+def build_dense_plan(
+    coordinate_map, bbox=None, extent_floor=None
+) -> Optional[DensePlan]:
     """Dense plan for a coordinate map.
 
     ``bbox`` (host (2, D+1) mins/maxs) is normally supplied by the manager —
     it was fetched in the same host sync as the map's unique count, so no
-    extra round trip is needed here.
+    extra round trip is needed here.  ``extent_floor`` (a previous
+    grid_shape) ratchets the grid so the static dense-conv shape stays
+    stable across geometry jitter.
     """
     coords = coordinate_map.coordinates
     valid = coordinate_map.valid_mask()
@@ -99,6 +103,9 @@ def build_dense_plan(coordinate_map, bbox=None) -> Optional[DensePlan]:
     # geometry jitter (each new dense shape is an XLA recompile)
     extents = ((extents + 15) // 16) * 16
     batches = int(maxs[0] - mins[0] + 1)
+    if extent_floor is not None:
+        batches = max(batches, int(extent_floor[0]))
+        extents = np.maximum(extents, np.asarray(extent_floor[1:]))
     grid_shape = (batches,) + tuple(int(e) for e in extents)
     flat = _flat_indices(
         coords,

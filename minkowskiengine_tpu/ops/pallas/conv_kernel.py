@@ -141,8 +141,14 @@ def build_slab_map_from_span(
     capacity_in: int,
     max_span: int,
     tile: int = DEFAULT_TILE,
+    min_slab: int = 0,
 ) -> Optional[SlabMap]:
-    """Slab decomposition given a host-known max span."""
+    """Slab decomposition given a host-known max span.
+
+    ``min_slab`` is a shape-stability floor (ratcheted by the geometry
+    replayer): reusing the largest rung seen so far keeps the kernel shape
+    — and therefore the compiled step — stable across geometry jitter.
+    """
     K, Co = in_idx.shape
     tile = min(tile, Co)
     if Co % tile != 0:
@@ -160,6 +166,8 @@ def build_slab_map_from_span(
             break
     if slab is None:
         slab = _round_up(needed, tile)
+    if min_slab:
+        slab = max(slab, int(min_slab))
     if slab > capacity_in:
         slab = capacity_in
     starts, local_tk = _slab_metadata(in_idx, capacity_in, tile, slab)

@@ -226,6 +226,16 @@ class SparseTensor:
         return int(self._F.shape[0])
 
     @property
+    def size_array(self):
+        """Valid-row count as a traceable int32 scalar."""
+        return self._manager.size_array(self.coordinate_map_key)
+
+    @property
+    def valid_row_mask(self):
+        """(capacity,) bool — True on valid rows.  Traceable."""
+        return jnp.arange(self.capacity, dtype=jnp.int32) < self.size_array
+
+    @property
     def F(self) -> jnp.ndarray:
         """Exact-size (N, ch) features — API parity accessor (eager only)."""
         return self._F[: self.size]
@@ -500,7 +510,7 @@ class SparseTensor:
     # ------------------------------------------------------------------
     # arithmetic (reference: MinkowskiTensor.py:511-585)
     # ------------------------------------------------------------------
-    def _mask_pad(self, padded: jnp.ndarray, n_valid: int) -> jnp.ndarray:
+    def _mask_pad(self, padded: jnp.ndarray, n_valid) -> jnp.ndarray:
         """Re-zero padding rows after an op that doesn't map (0,0)→0.
 
         Without this, ``a / b`` computes 0/0=NaN on padding rows and the NaN
@@ -512,7 +522,7 @@ class SparseTensor:
         if isinstance(other, SparseTensor):
             if self._same_key(other):
                 return self._wrap(
-                    self._mask_pad(op(self._F, other._F), self.size)
+                    self._mask_pad(op(self._F, other._F), self.size_array)
                 )
             if self._manager is not other._manager:
                 raise ValueError(
@@ -529,11 +539,11 @@ class SparseTensor:
             fa = F.take_rows(self._F, inv[0])
             fb = F.take_rows(other._F, inv[1])
             return SparseTensor(
-                self._mask_pad(op(fa, fb), self._manager.size(union_key)),
+                self._mask_pad(op(fa, fb), self._manager.size_array(union_key)),
                 coordinate_map_key=union_key,
                 coordinate_manager=self._manager,
             )
-        return self._wrap(self._mask_pad(op(self._F, other), self.size))
+        return self._wrap(self._mask_pad(op(self._F, other), self.size_array))
 
     def __add__(self, other):
         return self._binary(other, lambda a, b: a + b)
@@ -557,7 +567,7 @@ class SparseTensor:
         return self._wrap(-self._F)
 
     def __pow__(self, p):
-        return self._wrap(self._mask_pad(self._F**p, self.size))
+        return self._wrap(self._mask_pad(self._F**p, self.size_array))
 
     def __repr__(self):
         return (

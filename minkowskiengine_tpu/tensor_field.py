@@ -115,6 +115,16 @@ class TensorField:
         return self._manager._get_field_map(self.coordinate_field_map_key).size
 
     @property
+    def size_array(self):
+        """Valid-row count as an int32 scalar (field sizes are host-known
+        at insert time, so this is a constant, not a traced leaf)."""
+        return jnp.int32(self.size)
+
+    @property
+    def valid_row_mask(self):
+        return jnp.arange(self._F.shape[0], dtype=jnp.int32) < self.size
+
+    @property
     def F(self):
         return self._F[: self.size]
 

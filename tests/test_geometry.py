@@ -1,0 +1,131 @@
+"""Fresh-geometry pipeline: oplog replay, Geometry-as-argument steps,
+shape ratchets (VERDICT r1 item 3 — the real training regime is a new
+point cloud every batch)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+import minkowskiengine_tpu as ME
+from minkowskiengine_tpu.models import MinkUNet14A
+
+
+def cloud(seed, n=300, hi=20):
+    rng = np.random.RandomState(seed)
+    c = np.unique(
+        np.concatenate(
+            [rng.randint(0, 2, (n, 1)), rng.randint(0, hi, (n, 3))], axis=1
+        ).astype(np.int32),
+        axis=0,
+    )
+    return c, rng.randn(len(c), 3).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def warm():
+    c0, f0 = cloud(0)
+    x = ME.SparseTensor(f0, c0)
+    net = MinkUNet14A(3, 4, D=3, rngs=nnx.Rngs(0))
+    net.eval_mode = True
+    _ = net(x)
+    return x, net
+
+
+class TestGeometryPipeline:
+    def test_replay_matches_eager_single_trace(self, warm):
+        x, net = warm
+        replayer = ME.GeometryReplayer(x.coordinate_manager)
+        graphdef, state = nnx.split(net)
+        traces = [0]
+
+        @jax.jit
+        def step(state, feats, geo):
+            traces[0] += 1
+            model = nnx.merge(graphdef, state)
+            mgr = ME.CoordinateManager.from_geometry(geo)
+            xt = ME.SparseTensor(
+                feats,
+                coordinate_map_key=geo.entry_key,
+                coordinate_manager=mgr,
+            )
+            return model(xt).padded_features
+
+        for seed in range(1, 5):
+            c, f = cloud(seed)
+            mgr = replayer(c)
+            geo = mgr.export_geometry()
+            fp = mgr.reduce_features(geo.entry_key, f)
+            out = step(state, fp, geo)
+            oe = net(ME.SparseTensor(f, c))
+            n = oe.size
+            np.testing.assert_allclose(
+                np.asarray(out)[:n],
+                np.asarray(oe.padded_features)[:n],
+                rtol=2e-5,
+                atol=2e-5,
+            )
+        assert traces[0] == 1, f"step retraced {traces[0]} times"
+
+    def test_deferred_replay_single_sync(self, warm):
+        x, _ = warm
+        replayer = ME.GeometryReplayer(x.coordinate_manager)
+        from minkowskiengine_tpu.coords import manager as M
+
+        c, _ = cloud(7)
+        orig = jax.device_get
+        count = [0]
+
+        def counting(v):
+            count[0] += 1
+            return orig(v)
+
+        M.jax.device_get = counting
+        try:
+            replayer(c)
+        finally:
+            M.jax.device_get = orig
+        assert count[0] == 1, f"deferred replay used {count[0]} syncs"
+
+    def test_capacity_floor_ratchet(self, warm):
+        """A much larger batch must not be silently truncated: the deferred
+        replay detects the floor violation and re-runs in sync mode."""
+        x, net = warm
+        replayer = ME.GeometryReplayer(x.coordinate_manager)
+        c, f = cloud(9, n=3000, hi=28)  # crosses the capacity bucket
+        mgr = replayer(c)
+        geo = mgr.export_geometry()
+        assert mgr.size(geo.entry_key) == len(c)
+        # next replay at the old size uses the ratcheted (bigger) floor
+        c2, _ = cloud(10)
+        mgr2 = replayer(c2)
+        assert mgr2.capacity(mgr2._entry_key) >= len(c)
+
+    def test_frozen_view_rejects_builds(self, warm):
+        x, _ = warm
+        geo = x.coordinate_manager.export_geometry()
+        view = ME.CoordinateManager.from_geometry(geo)
+        with pytest.raises(RuntimeError, match="frozen"):
+            view.insert_and_map(np.array([[0, 1, 1, 1]], np.int32))
+
+    def test_stacked_geometries(self, warm):
+        """stack_geometries produces a leading device axis on every leaf."""
+        x, _ = warm
+        replayer = ME.GeometryReplayer(x.coordinate_manager)
+        geos = []
+        for seed in (11, 12):
+            mgr = replayer(cloud(seed)[0])
+            geos.append(mgr.export_geometry())
+        stacked = ME.stack_geometries(geos)
+        l0 = jax.tree.leaves(geos[0])
+        ls = jax.tree.leaves(stacked)
+        assert all(
+            s.shape == (2,) + a.shape for a, s in zip(l0, ls)
+        )
+        from minkowskiengine_tpu.coords import squeeze_geometry
+
+        g0 = jax.tree.map(lambda v: v[0], stacked)
+        for a, b in zip(jax.tree.leaves(g0), l0):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
