@@ -8,11 +8,17 @@ reduction riding the ICI and SyncBatchNorm statistics psum-reduced inside
 the same program (nn/norm.py).  There is no NCCL, no process-group
 bootstrap, no gradient bucketing — XLA schedules the collectives.
 
-Regime (round 1): the coordinate structure (kernel maps) is shared across
-devices — each device processes its own feature batch over the same geometry
-template (replicated as compile-time constants).  Per-device geometry
-(different point clouds per replica) is future work: CoordinateMap/KernelMap
-are already pytrees, so stacked per-device maps can flow as sharded args.
+Two regimes:
+
+- **Shared geometry template** (``make_data_parallel_step``): each device
+  processes its own feature batch over one coordinate structure baked into
+  the program as constants.  Cheapest when geometry repeats.
+- **Per-device geometry** (``make_per_device_geometry_step``): each replica
+  trains on its *own point cloud* — the reference's actual DDP regime
+  (examples/multigpu_ddp.py:100-119).  Per-device ``Geometry`` pytrees
+  (coords/geometry.py) are stacked along a device axis and flow through
+  ``shard_map`` as sharded *arguments*; one compiled step serves every
+  replica and every fresh batch in the same capacity bucket.
 """
 
 from __future__ import annotations
@@ -84,6 +90,64 @@ def make_data_parallel_step(
             check_vma=False,
         )
         return inner(model, optimizer, *batch)
+
+    return step
+
+
+def make_per_device_geometry_step(
+    model: nnx.Module,
+    optimizer: nnx.Optimizer,
+    loss_fn: Callable,
+    mesh: Mesh,
+    axis_name: str = "data",
+):
+    """Build a jitted DP training step where each device owns its geometry.
+
+    This is the reference's true DDP training regime — different samples
+    (point clouds) per replica (reference: examples/multigpu_ddp.py:100-119)
+    — expressed TPU-natively: geometry is DATA.  Stack per-device
+    ``Geometry`` pytrees (``stack_geometries``), shard them with
+    ``shard_batch``, and the compiled program gathers/reduces through each
+    replica's own kernel maps before pmean-ing gradients over ICI.
+
+    Args:
+      loss_fn: ``loss_fn(model, geo, *local_batch) -> scalar`` where ``geo``
+        is this replica's (already squeezed) ``Geometry`` and each
+        local-batch leaf keeps its leading local-shard axis (usually 1).
+        Rebuild the input inside with::
+
+            mgr = ME.CoordinateManager.from_geometry(geo)
+            xt = ME.SparseTensor(feats[0], coordinate_map_key=geo.entry_key,
+                                 coordinate_manager=mgr)
+
+    Returns:
+      ``step(model, optimizer, stacked_geo, *batch) -> loss``; pass
+      ``stacked_geo = shard_batch(stack_geometries(geos), mesh)`` and batch
+      leaves with a leading device axis.
+    """
+    from ..coords.geometry import squeeze_geometry
+
+    def _inner(model, optimizer, geo, *batch):
+        loss, grads = nnx.value_and_grad(loss_fn)(
+            model, squeeze_geometry(geo), *batch
+        )
+        grads = jax.lax.pmean(grads, axis_name)
+        optimizer.update(model, grads)
+        return jax.lax.pmean(loss, axis_name)
+
+    state_spec = nnx.StateSharding({...: P()})
+
+    @nnx.jit
+    def step(model, optimizer, geo, *batch):
+        inner = nnx.shard_map(
+            _inner,
+            mesh=mesh,
+            in_specs=(state_spec, state_spec, P(axis_name))
+            + tuple(P(axis_name) for _ in batch),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return inner(model, optimizer, geo, *batch)
 
     return step
 
