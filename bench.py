@@ -298,6 +298,68 @@ def main():
             )
         finally:
             ME.set_compute_dtype(None)
+
+        # ---- fresh-geometry train step: the REAL training regime ---------
+        # Every batch is a brand-new point cloud: replay the coordinate-op
+        # recipe (one host sync), export Geometry as a pytree argument, and
+        # hit the compiled step's cache (no retrace).  e2e = coordinate
+        # phase + feature reduction + jitted fwd+bwd.
+        replayer = ME.GeometryReplayer(mgr)
+        graphdef, gstate = nnx.split(net)
+        labels_big = jnp.asarray(
+            np.random.RandomState(1).randint(0, 20, 4 * cap)
+        )
+
+        @jax.jit
+        def fresh_step(state, f, geo):
+            model = nnx.merge(graphdef, state)
+
+            def loss_fn(m):
+                vmgr = ME.CoordinateManager.from_geometry(geo)
+                xt = ME.SparseTensor(
+                    f, coordinate_map_key=geo.entry_key,
+                    coordinate_manager=vmgr,
+                )
+                logits = m(xt).padded_features
+                mask = xt.valid_row_mask.astype(jnp.float32)
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels_big[: logits.shape[0]]
+                )
+                return jnp.sum(losses * mask) / jnp.sum(mask)
+
+            return nnx.value_and_grad(loss_fn)(model)
+
+        fresh_clouds = [make_cloud(seed=s) for s in range(1, 7)]
+        for c, _ in fresh_clouds:  # settle capacity/slab ratchets
+            replayer(c)
+
+        def one_fresh_batch(c, f):
+            m2 = replayer(c)
+            geo = m2.export_geometry()
+            fp = m2.reduce_features(geo.entry_key, f)
+            out = fresh_step(gstate, fp, geo)
+            jax.block_until_ready(jax.tree.leaves(out))
+
+        for c, f in fresh_clouds:  # compile + warm every bucket
+            one_fresh_batch(c, f)
+        batch_times = []
+        for _ in range(3):
+            for c, f in fresh_clouds:
+                t0 = time.perf_counter()
+                one_fresh_batch(c, f)
+                batch_times.append(time.perf_counter() - t0)
+        tf_min = float(np.min(batch_times))
+        tf_mean = float(np.mean(batch_times))
+        results["minkunet34_fresh_geometry_step_s"] = tf_min
+        results["minkunet34_fresh_geometry_step_mean_s"] = tf_mean
+        results["minkunet34_fresh_geometry_points_per_sec"] = (
+            len(fresh_clouds[0][0]) / tf_mean
+        )
+        log(
+            f"MinkUNet34 fresh-geometry train step (e2e, new cloud every "
+            f"batch): min {tf_min*1e3:.1f} ms / mean {tf_mean*1e3:.1f} ms → "
+            f"{len(fresh_clouds[0][0])/tf_mean:,.0f} points/s"
+        )
     except Exception as e:  # keep the headline metric alive regardless
         log(f"MinkUNet34 bench failed: {e!r}")
 

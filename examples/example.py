@@ -7,6 +7,10 @@ global pooling, linear head, cross-entropy, optax updates.
 Run: python examples/example.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import numpy as np
 
 import jax

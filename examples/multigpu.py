@@ -10,6 +10,10 @@ Run (8 simulated devices on CPU):
   XLA_FLAGS=--xla_force_host_platform_device_count=8 python examples/multigpu.py --cpu
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import argparse
 
 import numpy as np

@@ -4,6 +4,10 @@ construction, quantization modes, TensorField round trips, dense export.
 Run: python examples/sparse_tensor_basic.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import numpy as np
 
 import minkowskiengine_tpu as ME

@@ -4,6 +4,10 @@ MinkowskiStackCat runs branches on the same input and concatenates.
 Run: python examples/stack_unet.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import numpy as np
 
 from flax import nnx

@@ -292,12 +292,16 @@ class CoordinateManager:
     # ------------------------------------------------------------------
     # map bookkeeping
     # ------------------------------------------------------------------
-    def _unique_string_id(self, tensor_stride: Tuple[int, ...], string_id: str) -> str:
+    def _unique_string_id(
+        self, tensor_stride: Tuple[int, ...], string_id: str, field: bool = False
+    ) -> str:
+        """First free string id.  Field maps and coordinate maps have
+        SEPARATE key spaces (the reference holds them in distinct
+        containers, src/coordinate_map_manager.hpp — a field map and the
+        sparse map it quantizes to share (stride, ''))."""
+        taken = self._field_maps if field else self._maps
         sid = string_id
-        while (tensor_stride, sid) in self._maps or (
-            tensor_stride,
-            sid,
-        ) in self._field_maps:
+        while (tensor_stride, sid) in taken:
             sid = f"{string_id or 'map'}-{next(self._id_counter)}"
         return sid
 
@@ -483,7 +487,7 @@ class CoordinateManager:
         n = int(coords.shape[0])
         cap = bucket_capacity(n)
         coords = _pad_rows(coords, cap)
-        sid = self._unique_string_id(ts, string_id)
+        sid = self._unique_string_id(ts, string_id, field=True)
         key = CoordinateMapKey(ts, sid)
         self._field_maps[key.get_key()] = CoordinateFieldMap(coords, n, ts)
         return key
@@ -502,17 +506,23 @@ class CoordinateManager:
         """
         in_map = self._get_map(key)
         s = as_tuple(stride, self.D)
+        if all(x == 1 for x in s):
+            return key  # striding by 1 is the identity map
         out_ts = tuple(t * st for t, st in zip(in_map.tensor_stride, s))
-        existing = (out_ts, string_id)
+        # derived maps inherit the input's lineage id, so parallel coordinate
+        # sets in one manager (e.g. a TensorField's quantized map named
+        # 'map-0') keep consistent keys down and back up the network
+        sid = string_id or key.get_key()[1]
+        existing = (out_ts, sid)
         if existing in self._maps:
-            return CoordinateMapKey(out_ts, string_id)
+            return CoordinateMapKey(out_ts, sid)
         strided = _strided_coords(
             in_map.coordinates,
             jnp.asarray(np.asarray(out_ts, np.int32)),
             in_map.valid_mask(),
         )
         new_key, _, _, _ = self._register_unique(
-            strided, in_map.valid_mask(), out_ts, string_id
+            strided, in_map.valid_mask(), out_ts, sid
         )
         self._record("stride", key.get_key(), s, string_id)
         return new_key
@@ -537,9 +547,10 @@ class CoordinateManager:
         encoder's coordinates.
         """
         out_ts = as_tuple(out_tensor_stride, self.D)
-        existing = (out_ts, string_id)
+        sid = string_id or key.get_key()[1]  # inherit lineage (see stride())
+        existing = (out_ts, sid)
         if existing in self._maps and not expand_coordinates:
-            return CoordinateMapKey(out_ts, string_id)
+            return CoordinateMapKey(out_ts, sid)
         in_map = self._get_map(key)
         offsets = np.concatenate(
             [np.zeros((region.volume, 1), np.int32), region.offsets], axis=1
@@ -551,7 +562,7 @@ class CoordinateManager:
             not is_transpose,
             jnp.asarray(np.asarray(out_ts, np.int32)),
         )
-        new_key, _, _, _ = self._register_unique(cand, valid, out_ts, string_id)
+        new_key, _, _, _ = self._register_unique(cand, valid, out_ts, sid)
         self._record(
             "stride_region",
             key.get_key(),

@@ -30,8 +30,14 @@ from .module import MinkowskiModuleBase, resolve_rngs
 def _resolve_out_key(
     input: SparseTensor,
     coordinates,
+    out_tensor_stride=None,
 ) -> Optional[CoordinateMapKey]:
-    """Mirror of _get_coordinate_map_key (MinkowskiSparseTensor.py:754-783)."""
+    """Mirror of _get_coordinate_map_key (MinkowskiSparseTensor.py:754-783).
+
+    Raw coordinates are inserted at the layer's OUTPUT tensor stride (the
+    reference documents conv-transpose target coordinates as
+    ``tensor_stride / stride`` apart, MinkowskiConvolution.py:485-490) so
+    the kernel map's offset arithmetic lines up."""
     if coordinates is None:
         return None
     if isinstance(coordinates, CoordinateMapKey):
@@ -39,10 +45,18 @@ def _resolve_out_key(
     if isinstance(coordinates, SparseTensor):
         return coordinates.coordinate_map_key
     coordinates = jnp.asarray(coordinates)
-    key, _ = input.coordinate_manager.insert_and_map(
-        coordinates, (1,) * input.D
-    )
+    ts = out_tensor_stride if out_tensor_stride is not None else (1,) * input.D
+    key, _ = input.coordinate_manager.insert_and_map(coordinates, ts)
     return key
+
+
+def _expected_out_ts(in_key, kernel_generator, is_transpose):
+    """Output tensor stride of a (transposed) conv/pool layer."""
+    in_ts = in_key.get_tensor_stride()
+    stride = kernel_generator.kernel_stride
+    if is_transpose:
+        return tuple(t // s for t, s in zip(in_ts, stride))
+    return tuple(t * s for t, s in zip(in_ts, stride))
 
 
 def _conv_out_key(
@@ -247,7 +261,15 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             )
             out_key = input.coordinate_map_key
         else:
-            out_key = _resolve_out_key(input, coordinates)
+            out_key = _resolve_out_key(
+                input,
+                coordinates,
+                _expected_out_ts(
+                    input.coordinate_map_key,
+                    self.kernel_generator,
+                    self.is_transpose,
+                ),
+            )
             if out_key is None:
                 out_key = _conv_out_key(
                     input.coordinate_manager,
@@ -511,7 +533,13 @@ class MinkowskiChannelwiseConvolution(MinkowskiModuleBase):
         )
 
     def __call__(self, input: SparseTensor, coordinates=None) -> SparseTensor:
-        out_key = _resolve_out_key(input, coordinates)
+        out_key = _resolve_out_key(
+            input,
+            coordinates,
+            _expected_out_ts(
+                input.coordinate_map_key, self.kernel_generator, False
+            ),
+        )
         if out_key is None:
             out_key = input.coordinate_manager.stride(
                 input.coordinate_map_key, self.kernel_generator.kernel_stride

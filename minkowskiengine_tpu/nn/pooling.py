@@ -52,7 +52,17 @@ class MinkowskiPoolingBase(MinkowskiModuleBase):
         self.expand_coordinates = bool(expand_coordinates)
 
     def _out_key_and_kmap(self, input: SparseTensor, coordinates):
-        out_key = _resolve_out_key(input, coordinates)
+        from .conv import _expected_out_ts
+
+        out_key = _resolve_out_key(
+            input,
+            coordinates,
+            _expected_out_ts(
+                input.coordinate_map_key,
+                self.kernel_generator,
+                self.is_transpose,
+            ),
+        )
         if out_key is None:
             out_key = _conv_out_key(
                 input.coordinate_manager,
