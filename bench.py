@@ -74,11 +74,13 @@ def main():
     results = {}
 
     # ---- headline: single conv 3->32 k=3 fwd, warm geometry -------------
-    # Timing note: an isolated dispatch+sync through this box's TPU tunnel
-    # pays ~30 ms of completion latency regardless of work, so we measure
-    # throughput over REPS independent conv applications inside one jit —
-    # equivalent to the reference's CUDA-async amortization.
-    REPS = 10
+    # Timing note: EVERY dispatch+sync through this box's TPU tunnel pays
+    # ~30 ms of completion latency regardless of work (measured: total time
+    # of an N-conv chain fits 30 ms + N*t_conv).  Amortize it over a long
+    # chain of independent conv applications inside one jit — equivalent to
+    # the reference's CUDA-async streaming — or the headline reports the
+    # tunnel, not the kernel.
+    REPS = 50
     x = ME.SparseTensor(feats, coords)
     conv = ME.MinkowskiConvolution(3, 32, kernel_size=3, stride=1, dimension=3,
                                    rngs=nnx.Rngs(0))
@@ -246,7 +248,7 @@ def main():
 
             return nnx.value_and_grad(loss_fn)(model)
 
-        UREPS = 4
+        UREPS = 12  # long chain: amortize the ~30 ms tunnel sync artifact
 
         cstep = nnx.cached_partial(step, net)  # avoid per-call graph
         # traversal (~60 ms/step host cost measured on MinkUNet34)
@@ -300,10 +302,10 @@ def main():
             ME.set_compute_dtype(None)
 
         # ---- fresh-geometry train step: the REAL training regime ---------
-        # Every batch is a brand-new point cloud: replay the coordinate-op
-        # recipe (one host sync), export Geometry as a pytree argument, and
-        # hit the compiled step's cache (no retrace).  e2e = coordinate
-        # phase + feature reduction + jitted fwd+bwd.
+        # Every batch is a brand-new point cloud: the ENTIRE coordinate
+        # phase runs as one compiled program (CompiledReplayer — slab/grid
+        # shapes pinned to ratcheted floors, floor checks synced with the
+        # loss), then the jitted step hits its cache (no retrace).
         replayer = ME.GeometryReplayer(mgr)
         graphdef, gstate = nnx.split(net)
         labels_big = jnp.asarray(
@@ -332,13 +334,17 @@ def main():
         fresh_clouds = [make_cloud(seed=s) for s in range(1, 7)]
         for c, _ in fresh_clouds:  # settle capacity/slab ratchets
             replayer(c)
+        crep = ME.CompiledReplayer(mgr)
+        crep.cap_floors = dict(replayer.cap_floors)
+        crep.slab_floors = dict(replayer.slab_floors)
+        crep.grid_floors = dict(replayer.grid_floors)
+        crep.join_floors = dict(replayer.join_floors)
 
         def one_fresh_batch(c, f):
-            m2 = replayer(c)
-            geo = m2.export_geometry()
-            fp = m2.reduce_features(geo.entry_key, f)
+            geo, fp, ok = crep.run(c, f)
             out = fresh_step(gstate, fp, geo)
-            jax.block_until_ready(jax.tree.leaves(out))
+            jax.block_until_ready((jax.tree.leaves(out), ok))
+            assert bool(ok)
 
         for c, f in fresh_clouds:  # compile + warm every bucket
             one_fresh_batch(c, f)

@@ -8,6 +8,11 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 
+if "--cpu" in _sys.argv:  # the axon TPU plugin ignores JAX_PLATFORMS
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import minkowskiengine_tpu as ME

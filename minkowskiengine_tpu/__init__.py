@@ -32,6 +32,7 @@ from .coords import (
     CoordinateMap,
     CoordinateMapKey,
     Geometry,
+    CompiledReplayer,
     GeometryReplayer,
     KernelMap,
     stack_geometries,

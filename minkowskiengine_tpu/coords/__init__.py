@@ -5,6 +5,7 @@ from .manager import CoordinateFieldMap, CoordinateManager, CoordinateMapKey
 from .map import CoordinateMap, bucket_capacity
 from .geometry import (
     Geometry,
+    CompiledReplayer,
     GeometryReplayer,
     index_geometry,
     squeeze_geometry,
@@ -21,6 +22,7 @@ __all__ = [
     "build_stride_map",
     "bucket_capacity",
     "Geometry",
+    "CompiledReplayer",
     "GeometryReplayer",
     "index_geometry",
     "squeeze_geometry",

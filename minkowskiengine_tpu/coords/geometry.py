@@ -39,6 +39,7 @@ import dataclasses
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from .manager import CoordinateMapKey
 
@@ -139,6 +140,145 @@ def squeeze_geometry(geo: Geometry) -> Geometry:
     return jax.tree.map(lambda v: v[0], geo)
 
 
+class CompiledReplayer:
+    """The coordinate phase as ONE compiled program per batch.
+
+    ``GeometryReplayer`` runs the recorded coordinate ops eagerly with one
+    deferred host sync — dozens of small dispatches per batch (measured
+    ~0.4-0.5 s per fresh MinkUNet34 cloud through a remote-TPU tunnel).
+    This driver instead traces the WHOLE replay (slab/dense shapes pinned
+    to the ratcheted floors) into a single jitted function::
+
+        coords, n, feats  ->  (Geometry, padded_features, ok)
+
+    where ``ok`` is a device bool asserting every floor held.  Callers can
+    sync ``ok`` together with their loss (one round trip per batch); when a
+    floor is violated (rare after warm-up) the batch transparently re-runs
+    through the sync replay, ratcheting the floor and recompiling.
+
+    Usage::
+
+        x = ME.SparseTensor(feats0, coords0); _ = net(x)      # warm + record
+        replayer = ME.CompiledReplayer(x.coordinate_manager)
+        for coords, feats in batches:
+            geo, fp = replayer(coords, feats)                  # 1 dispatch
+            loss = jitted_step(state, fp, geo)                 # cache hit
+
+    Or fused end-to-end (zero extra syncs) with ``run()`` + ``check()``.
+    """
+
+    def __init__(self, recorded_manager, quantization_mode=None):
+        self.oplog = recorded_manager.oplog()
+        self.cap_floors = dict(recorded_manager._cap_floors)
+        self.slab_floors = dict(recorded_manager._slab_floors)
+        self.grid_floors = dict(recorded_manager._grid_floors)
+        self.join_floors = dict(recorded_manager._join_floors)
+        self.quantization_mode = quantization_mode
+        self._version = 0  # bumped on ratchet: old jits are stale
+        self._jits = {}
+
+    # -- traceable core ----------------------------------------------------
+    def trace(self, coords_padded, n_valid, feats_padded=None):
+        """Traceable: call inside your own jit to fuse the coordinate phase
+        into a training step.  Returns (Geometry, padded_feats|None, ok)."""
+        from .manager import CoordinateManager
+
+        mgr = CoordinateManager.replay(
+            self.oplog,
+            coords_padded,
+            cap_floors=self.cap_floors,
+            slab_floors=self.slab_floors,
+            grid_floors=self.grid_floors,
+            join_floors=self.join_floors,
+            traced=True,
+            n_valids=[n_valid],
+        )
+        geo = mgr.export_geometry()
+        fp = None
+        if feats_padded is not None:
+            fp = mgr.reduce_features(
+                geo.entry_key, feats_padded, self.quantization_mode
+            )
+        return geo, fp, mgr.traced_ok()
+
+    # -- per-batch drivers ---------------------------------------------
+    def _bucket(self, n):
+        from .manager import bucket_capacity
+
+        return bucket_capacity(n)
+
+    def run(self, coordinates, features=None):
+        """One jitted dispatch; returns (Geometry, padded_feats, ok_device).
+        Sync ``ok`` later (e.g. with the loss) and call ``recover()`` if it
+        comes back False."""
+        import numpy as _np
+
+        coords = _np.asarray(coordinates)
+        n = coords.shape[0]
+        cap = self._bucket(n)
+        coords_p = _np.zeros((cap, coords.shape[1]), _np.int32)
+        coords_p[:n] = coords
+        args = [jnp.asarray(coords_p), jnp.asarray(n, jnp.int32)]
+        fshape = None
+        if features is not None:
+            f = _np.asarray(features)
+            f_p = _np.zeros((cap,) + f.shape[1:], f.dtype)
+            f_p[:n] = f
+            args.append(jnp.asarray(f_p))
+            fshape = (f.shape[1:], f.dtype.str)
+        key = (cap, coords.shape[1], fshape, self._version)
+        fn = self._jits.get(key)
+        if fn is None:
+            fn = jax.jit(self.trace)
+            self._jits[key] = fn
+        if features is None:
+            geo, fp, ok = fn(args[0], args[1])
+        else:
+            geo, fp, ok = fn(*args)
+        return geo, fp, ok
+
+    def recover(self, coordinates, features=None):
+        """Sync-replay fallback for a failed batch: ratchets the violated
+        floors and invalidates the compiled programs."""
+        from .manager import CoordinateManager
+
+        mgr = CoordinateManager.replay(
+            self.oplog,
+            coordinates,
+            cap_floors=self.cap_floors,
+            slab_floors=self.slab_floors,
+            grid_floors=self.grid_floors,
+            join_floors=self.join_floors,
+            deferred=True,
+        )
+        self.cap_floors.update(mgr._cap_floors)
+        self.slab_floors.update(mgr._slab_floors)
+        self.grid_floors.update(mgr._grid_floors)
+        self.join_floors.update(mgr._join_floors)
+        self._version += 1
+        geo = mgr.export_geometry()
+        fp = None
+        if features is not None:
+            fp = mgr.reduce_features(
+                geo.entry_key, features, self.quantization_mode
+            )
+        return geo, fp
+
+    def __call__(self, coordinates, features=None):
+        """(Geometry, padded_feats) — checks ``ok`` immediately (one sync)
+        and falls back transparently.  For the zero-extra-sync pattern use
+        ``run()`` and check ``ok`` alongside your loss."""
+        from .manager import UntraceableReplay
+
+        try:
+            geo, fp, ok = self.run(coordinates, features)
+        except UntraceableReplay:
+            return self.recover(coordinates, features)
+        if not bool(ok):
+            return self.recover(coordinates, features)
+        return geo, fp
+
+
 class GeometryReplayer:
     """Per-batch coordinate-phase replayer with shape-stability ratchets.
 
@@ -165,6 +305,7 @@ class GeometryReplayer:
         self.cap_floors = dict(recorded_manager._cap_floors)
         self.slab_floors = dict(recorded_manager._slab_floors)
         self.grid_floors = dict(recorded_manager._grid_floors)
+        self.join_floors = dict(recorded_manager._join_floors)
 
     def __call__(self, coordinates, tensor_stride=1):
         from .manager import CoordinateManager
@@ -176,8 +317,10 @@ class GeometryReplayer:
             cap_floors=self.cap_floors,
             slab_floors=self.slab_floors,
             grid_floors=self.grid_floors,
+            join_floors=self.join_floors,
         )
         self.cap_floors.update(mgr._cap_floors)
         self.slab_floors.update(mgr._slab_floors)
         self.grid_floors.update(mgr._grid_floors)
+        self.join_floors.update(mgr._join_floors)
         return mgr

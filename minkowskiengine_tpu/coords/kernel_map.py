@@ -142,18 +142,31 @@ def _build_queries(in_hi, in_lo, out_coords, n_out, offsets):
     return jnp.where(invalid, pad_hi, q_hi), jnp.where(invalid, pad_lo, q_lo)
 
 
-def _build_in_idx(in_hi, in_lo, n_in, out_coords, n_out, offsets):
+def _build_in_idx(
+    in_hi, in_lo, n_in, out_coords, n_out, offsets,
+    join_slab=None, join_stats=None,
+):
     """in_idx[k, o] = row of (out_coords[o] + offsets[k]) in the in-map, or -1.
 
     Invalid probes carry the max key; a max-key probe can only match a real
     max-key row (possible only at a full 64-bit budget), and such rows are
     re-masked by the caller's valid_out anyway via the key_max sentinel
     producing found=False in practice.
+
+    ``join_slab``: fixed (ratcheted-floor) sorted-join slab — makes the
+    build fully traceable; the validity bool lands in ``join_stats["ok"]``.
     """
-    from .lookup import find_rows_sorted
+    from .lookup import find_rows_sorted, find_rows_sorted_fixed
 
     q_hi, q_lo = _build_queries(in_hi, in_lo, out_coords, n_out, offsets)
-    rows = find_rows_sorted(in_hi, in_lo, n_in, q_hi, q_lo)
+    if join_slab is not None:
+        rows, ok = find_rows_sorted_fixed(
+            in_hi, in_lo, n_in, q_hi, q_lo, join_slab
+        )
+        if join_stats is not None:
+            join_stats["ok"] = ok
+    else:
+        rows = find_rows_sorted(in_hi, in_lo, n_in, q_hi, q_lo, join_stats)
     C_out = out_coords.shape[0]
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
     return jnp.where(valid_out, rows, -1)
@@ -182,6 +195,8 @@ def build_kernel_map(
     offsets: np.ndarray,
     slab_floor: Tuple[int, int] = (0, 0),
     defer_slabs: bool = False,
+    join_slab=None,
+    join_stats=None,
 ) -> KernelMap:
     """Build the dense kernel map for absolute coordinate ``offsets``.
 
@@ -203,6 +218,8 @@ def build_kernel_map(
         out_map.coordinates,
         out_map.size_arr,
         jnp.asarray(offsets),
+        join_slab=join_slab,
+        join_stats=join_stats,
     )
     out_idx_t = _invert_matching(in_idx, in_map.capacity)
     from ..ops.pallas.conv_kernel import (

@@ -119,7 +119,19 @@ def find_lower_bound(map_hi, map_lo, q_hi, q_lo):
     return lo_idx
 
 
-def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo):
+def join_slab_for_span(span: int, C: int) -> int:
+    """Quantize a join span to the slab ladder (shape stability: one
+    recompile costs seconds through the TPU tunnel, so prefer a fixed
+    2×TILE slab and quantize larger spans coarsely)."""
+    needed = max(int(span), 1)
+    if needed <= 2 * _JOIN_TILE:
+        slab = 2 * _JOIN_TILE
+    else:
+        slab = ((needed + 1023) // 1024) * 1024
+    return min(slab, C)
+
+
+def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo, stats=None):
     """``find_rows`` for per-row-sorted query batches (B, Q).
 
     Used by the kernel-map builder: per-offset probe keys are sorted because
@@ -130,11 +142,16 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo):
     consecutive-lower-bound spans (one host sync, amortized by the manager's
     kernel-map cache).  Falls back to plain binary search when tiling does
     not apply or the required slab is too large.
+
+    ``stats``: optional dict; receives ``join_slab`` (the ladder rung used)
+    so callers can ratchet a floor for traced replays.
     """
     TILE = _JOIN_TILE
     B, Q = q_hi.shape
     C = map_hi.shape[0]
     if Q % TILE != 0 or C < TILE:
+        if stats is not None:
+            stats["join_slab"] = 0  # 0 = binary-search fallback (no slab)
         return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
     nt = Q // TILE
     qh = q_hi.reshape(B, nt, TILE)
@@ -143,18 +160,36 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo):
     lb_next = jnp.concatenate(
         [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
     )
-    # shape stability: one recompile costs seconds through the TPU tunnel,
-    # so prefer a fixed 2×TILE slab and quantize larger spans coarsely
-    span = int(jnp.max(lb_next - lbs))
-    needed = max(span, 1)
-    if needed <= 2 * TILE:
-        slab = 2 * TILE
-    else:
-        slab = ((needed + 1023) // 1024) * 1024
-    slab = min(slab, C)
+    span = int(jnp.max(lb_next - lbs))  # host sync (sync/deferred path only)
+    slab = join_slab_for_span(span, C)
+    if stats is not None:
+        stats["join_slab"] = slab
     if slab > _MAX_JOIN_SLAB:
         return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
     return _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
+
+
+def find_rows_sorted_fixed(map_hi, map_lo, n_map, q_hi, q_lo, slab: int):
+    """Traceable ``find_rows_sorted`` at a KNOWN (ratcheted-floor) join
+    slab — zero host syncs.  Returns (rows, ok) where ``ok`` is a device
+    bool asserting the true span fit the slab (results are exact iff ok)."""
+    TILE = _JOIN_TILE
+    B, Q = q_hi.shape
+    C = map_hi.shape[0]
+    if slab == 0 or Q % TILE != 0 or C < TILE or slab > _MAX_JOIN_SLAB:
+        rows = find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
+        return rows, jnp.asarray(True)
+    nt = Q // TILE
+    qh = q_hi.reshape(B, nt, TILE)
+    ql = q_lo.reshape(B, nt, TILE)
+    lbs = find_lower_bound(map_hi, map_lo, qh[:, :, 0], ql[:, :, 0])
+    lb_next = jnp.concatenate(
+        [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
+    )
+    slab = min(int(slab), C)
+    ok = jnp.max(lb_next - lbs) <= jnp.int32(slab)
+    rows = _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
+    return rows, ok
 
 
 @jax.jit

@@ -60,6 +60,11 @@ def set_coordinate_map_type(map_type) -> None:
     there is a single TPU coordinate-map implementation."""
 
 
+class UntraceableReplay(RuntimeError):
+    """Raised when a traced replay hits an op with no ratcheted floor (so
+    its static shape is unknown) — the caller falls back to sync replay."""
+
+
 class CapacityFloorExceeded(RuntimeError):
     """A deferred-sync replay found more unique rows than the ratcheted
     capacity floor — the caller must replay in sync mode (floors updated)."""
@@ -268,6 +273,7 @@ class CoordinateManager:
         self._cap_floors: Dict[tuple, int] = {}
         self._slab_floors: Dict[tuple, Tuple[int, int]] = {}
         self._grid_floors: Dict[tuple, tuple] = {}
+        self._join_floors: Dict[tuple, int] = {}  # sorted-join slab rungs
         # (unique_map, inverse_map, n_in, n_unique) per inserted map key
         self._insert_results: Dict[tuple, tuple] = {}
         # deferred-sync replay state (see _finalize_deferred)
@@ -391,6 +397,12 @@ class CoordinateManager:
             self._deferred["bboxes"].append((key.get_key(), bbox))
             return key, res.unique_map, res.inverse_map, None
 
+        if self._deferred is not None and self._deferred.get("traced"):
+            raise UntraceableReplay(
+                f"no capacity floor for map {floor_key}; warm the replayer "
+                "with a sync pass first"
+            )
+
         # one host sync for everything (each isolated sync costs ~30 ms
         # through the TPU tunnel once pallas kernels have run); the bbox
         # is stashed for dense_plan so it never needs its own sync
@@ -425,6 +437,7 @@ class CoordinateManager:
         coordinates,
         tensor_stride=1,
         string_id: str = "",
+        n_valid=None,
     ):
         """Like insert_and_map but returns padded maps + counts.
 
@@ -432,6 +445,10 @@ class CoordinateManager:
         where invalid unique_map slots hold C_in (gathers a zero row) and
         invalid inverse slots hold -1.  Used by SparseTensor construction so
         feature reduction stays fully padded/traceable.
+
+        ``n_valid``: optional (possibly traced) scalar count of valid
+        leading rows when ``coordinates`` is already padded to a static
+        bucket — the traced-replay calling convention.
         """
         ts = as_tuple(tensor_stride, self.D)
         coords = jnp.asarray(coordinates, dtype=jnp.int32)
@@ -442,8 +459,14 @@ class CoordinateManager:
         n = int(coords.shape[0])
         cap = bucket_capacity(n)
         coords = _pad_rows(coords, cap)
+        if n_valid is not None:
+            valid = jnp.arange(cap, dtype=jnp.int32) < jnp.asarray(
+                n_valid, jnp.int32
+            )
+        else:
+            valid = prefix_mask(cap, n)
         key, unique_map, inverse_map, n_unique = self._register_unique(
-            coords, prefix_mask(cap, n), ts, string_id
+            coords, valid, ts, string_id
         )
         self._record("insert", ts, string_id, key.get_key())
         if self._entry_key is None:
@@ -741,15 +764,22 @@ class CoordinateManager:
                     region_type, ks, dil, in_map.tensor_stride, region_offsets
                 )
                 if self._deferred is not None:
+                    js = self._join_args(cache_key)
                     kmap, fs, bs = build_kernel_map(
-                        in_map, out_map, offs, defer_slabs=True
+                        in_map, out_map, offs, defer_slabs=True, **js
                     )
+                    self._join_done(cache_key, js)
+                    if self._deferred.get("traced"):
+                        kmap = self._attach_floored_slabs(kmap, cache_key)
                     self._deferred["slabs"].append((cache_key, fs, bs))
                 else:
+                    js = self._join_args(cache_key)
                     kmap = build_kernel_map(
                         in_map, out_map, offs,
                         slab_floor=self._slab_floors.get(cache_key, (0, 0)),
+                        **js,
                     )
+                    self._join_done(cache_key, js)
         else:
             swapped_key = (
                 out_key.get_key(),
@@ -776,20 +806,29 @@ class CoordinateManager:
                     region_type, ks, dil, out_map.tensor_stride, region_offsets
                 )
                 if self._deferred is not None:
+                    js = self._join_args(cache_key)
                     built, fs, bs = build_kernel_map(
-                        out_map, in_map, offs, defer_slabs=True
+                        out_map, in_map, offs, defer_slabs=True, **js
                     )
+                    self._join_done(cache_key, js)
                     kmap = built.swap()
+                    if self._deferred.get("traced"):
+                        kmap = self._attach_floored_slabs(kmap, cache_key)
                     # cached orientation: fwd spans = built bwd, and v.v.
                     self._deferred["slabs"].append((cache_key, bs, fs))
                 else:
                     floor = self._slab_floors.get(cache_key, (0, 0))
+                    js = self._join_args(cache_key)
                     kmap = build_kernel_map(
-                        out_map, in_map, offs, slab_floor=(floor[1], floor[0])
+                        out_map, in_map, offs,
+                        slab_floor=(floor[1], floor[0]), **js,
                     ).swap()
+                    self._join_done(cache_key, js)
 
         self._kernel_maps[cache_key] = kmap
-        if kmap.fwd_slab is not None and kmap.bwd_slab is not None:
+        if self._deferred is not None and self._deferred.get("traced"):
+            pass  # slabs already at the floored rung; don't re-ratchet
+        elif kmap.fwd_slab is not None and kmap.bwd_slab is not None:
             prev = self._slab_floors.get(cache_key, (0, 0))
             self._slab_floors[cache_key] = (
                 max(prev[0], kmap.fwd_slab.slab_size),
@@ -1001,6 +1040,25 @@ class CoordinateManager:
         if ck not in self._interp_cache:
             self._check_not_frozen("a dense plan")
             if self._deferred is not None:
+                if self._deferred.get("traced"):
+                    floor = self._grid_floors.get(key.get_key())
+                    if floor is None:
+                        raise UntraceableReplay(
+                            f"no dense-grid floor for map {key.get_key()}"
+                        )
+                    bbox_dev = next(
+                        b for kt, b in self._deferred["bboxes"]
+                        if kt == key.get_key()
+                    )
+                    from ..ops.dense_conv import build_dense_plan_traced
+
+                    plan, ok = build_dense_plan_traced(
+                        self._get_map(key), bbox_dev, floor
+                    )
+                    self._deferred["checks"].append(ok)
+                    self._interp_cache[ck] = plan
+                    self._record("dense_plan", key.get_key())
+                    return plan
                 self._deferred["plans"].append(key.get_key())
                 self._record("dense_plan", key.get_key())
                 return None  # materialized in _finalize_deferred
@@ -1018,8 +1076,88 @@ class CoordinateManager:
             self._record("dense_plan", key.get_key())
         return self._interp_cache[ck]
 
-    def _begin_deferred(self):
-        self._deferred = {"sizes": [], "bboxes": [], "slabs": [], "plans": []}
+    def _join_args(self, cache_key):
+        """build_kernel_map join kwargs for this mode.
+
+        Traced: a fixed (ratcheted) join slab + a stats dict whose ``ok``
+        lands in the deferred checks.  Sync/deferred: a stats dict that
+        reports the ladder rung chosen, ratcheting ``_join_floors`` (also
+        removing the per-build host span sync from future traced replays).
+        """
+        traced = self._deferred is not None and self._deferred.get("traced")
+        if traced:
+            slab = self._join_floors.get(cache_key)
+            if slab is None:
+                raise UntraceableReplay(
+                    f"no join-slab floor for kernel map {cache_key}"
+                )
+            return {"join_slab": slab, "join_stats": {}}
+        return {"join_stats": {}}
+
+    def _join_done(self, cache_key, js):
+        stats = js["join_stats"]
+        if "ok" in stats:  # traced: queue the span-fits check
+            self._deferred["checks"].append(stats["ok"])
+        if "join_slab" in stats:  # sync: ratchet the rung
+            self._join_floors[cache_key] = max(
+                self._join_floors.get(cache_key, 0), stats["join_slab"]
+            )
+
+    def _attach_floored_slabs(self, kmap, cache_key):
+        """Traced replay: build both slab decompositions at the ratcheted
+        floor rungs (fully traceable — no host span fetch).  The span
+        checks live in traced_ok()."""
+        from ..ops.pallas.conv_kernel import build_slab_map_floored
+
+        floor = self._slab_floors.get(cache_key, (0, 0))
+        if not floor[0] or not floor[1]:
+            raise UntraceableReplay(
+                f"no slab floor for kernel map {cache_key}; warm the "
+                "replayer with a sync pass first"
+            )
+        return KernelMap(
+            kmap.in_idx,
+            kmap.out_idx_t,
+            kmap.n_in,
+            kmap.n_out,
+            build_slab_map_floored(kmap.in_idx, kmap.capacity_in, floor[0]),
+            build_slab_map_floored(kmap.out_idx_t, kmap.capacity_out, floor[1]),
+        )
+
+    def _begin_deferred(self, traced: bool = False):
+        self._deferred = {
+            "sizes": [],
+            "bboxes": [],
+            "slabs": [],
+            "plans": [],
+            "checks": [],
+            "traced": traced,
+        }
+
+    def traced_ok(self):
+        """Device bool: every ratcheted floor held for this traced replay
+        (capacities, overflow, slab spans, dense-grid extents).  Sync it
+        once per batch; on False, re-run the batch through the sync replay
+        (which ratchets the violated floors)."""
+        d = self._deferred
+        if d is None or not d.get("traced"):
+            return jnp.asarray(True)
+        oks = []
+        for key_t, _fk, n_dev, ovf in d["sizes"]:
+            cap = self._maps[key_t].capacity
+            oks.append((n_dev <= cap) & jnp.logical_not(ovf))
+        for cache_key, fs, bs in d["slabs"]:
+            km = self._kernel_maps.get(cache_key)
+            for slab, span in ((km.fwd_slab, fs), (km.bwd_slab, bs)):
+                # a capacity-sized slab always covers (start pinned to 0);
+                # otherwise require the from_span alignment margin
+                if slab is not None and slab.slab_size < slab.capacity_in:
+                    oks.append(span + 15 <= jnp.int32(slab.slab_size))
+        oks.extend(d["checks"])
+        out = jnp.asarray(True)
+        for o in oks:
+            out = out & o
+        return out
 
     def _finalize_deferred(self):
         """ONE host round trip resolving every deferred scalar, then attach
@@ -1173,6 +1311,9 @@ class CoordinateManager:
         slab_floors: Optional[Dict[tuple, Tuple[int, int]]] = None,
         grid_floors: Optional[Dict[tuple, tuple]] = None,
         deferred: Optional[bool] = None,
+        traced: bool = False,
+        n_valids=None,
+        join_floors: Optional[Dict[tuple, int]] = None,
     ) -> "CoordinateManager":
         """Re-run a recorded coordinate-op recipe against new coordinates.
 
@@ -1187,32 +1328,55 @@ class CoordinateManager:
         up, and a single finalize sync resolves them.  If a floor proves too
         small the replay transparently re-runs in sync mode (ratcheting).
 
+        ``traced=True`` goes further: the ENTIRE phase is traceable (callable
+        under jax.jit), with slab/dense shapes taken from the ratcheted
+        floors and zero host syncs; floor violations surface as a device
+        bool from ``traced_ok()`` (the caller syncs it once and falls back
+        to sync replay).  Requires every floor to be settled; raises
+        UntraceableReplay otherwise.  See coords/geometry.py
+        ``CompiledReplayer`` for the per-batch driver.
+
         ``coordinates``: one (N, D+1) array, or a list with one entry per
         recorded ``insert`` (models that insert several coordinate sets).
+        ``n_valids``: optional per-insert device scalars — the count of
+        valid leading rows when the coordinate arrays are padded to a
+        static bucket (the traced-replay calling convention).
         """
+        if traced:
+            return cls._replay_once(
+                oplog, coordinates, tensor_stride,
+                cap_floors, slab_floors, grid_floors, "traced", n_valids,
+                join_floors,
+            )
         if deferred is None:
             deferred = bool(cap_floors)
         if deferred:
             try:
                 return cls._replay_once(
                     oplog, coordinates, tensor_stride,
-                    cap_floors, slab_floors, grid_floors, True,
+                    cap_floors, slab_floors, grid_floors, True, n_valids,
+                    join_floors,
                 )
             except CapacityFloorExceeded:
                 pass  # sync replay below recomputes and ratchets floors
         return cls._replay_once(
             oplog, coordinates, tensor_stride,
-            cap_floors, slab_floors, grid_floors, False,
+            cap_floors, slab_floors, grid_floors, False, n_valids,
+            join_floors,
         )
 
     @classmethod
     def _replay_once(
         cls, oplog, coordinates, tensor_stride,
-        cap_floors, slab_floors, grid_floors, use_deferred,
+        cap_floors, slab_floors, grid_floors, use_deferred, n_valids=None,
+        join_floors=None,
     ) -> "CoordinateManager":
         if not isinstance(coordinates, (list, tuple)):
             coordinates = [coordinates]
+        if n_valids is not None and not isinstance(n_valids, (list, tuple)):
+            n_valids = [n_valids]
         coords_iter = iter(coordinates)
+        nvalid_iter = iter(n_valids) if n_valids is not None else None
         mgr = None
         for entry in oplog:
             op = entry[0]
@@ -1220,16 +1384,23 @@ class CoordinateManager:
                 _, ts, sid, produced = entry
                 c = next(coords_iter)
                 if mgr is None:
-                    mgr = cls(D=int(np.asarray(c).shape[1]) - 1)
+                    mgr = cls(D=int(c.shape[1]) - 1)
                     if cap_floors:
                         mgr._cap_floors.update(cap_floors)
                     if slab_floors:
                         mgr._slab_floors.update(slab_floors)
                     if grid_floors:
                         mgr._grid_floors.update(grid_floors)
+                    if join_floors:
+                        mgr._join_floors.update(join_floors)
                     if use_deferred:
-                        mgr._begin_deferred()
-                key, _, _, _, _ = mgr.insert_and_map_padded(c, ts, sid)
+                        mgr._begin_deferred(traced=use_deferred == "traced")
+                key, _, _, _, _ = mgr.insert_and_map_padded(
+                    c, ts, sid,
+                    n_valid=(
+                        next(nvalid_iter) if nvalid_iter is not None else None
+                    ),
+                )
                 if key.get_key() != produced:
                     raise RuntimeError(
                         f"replay produced key {key.get_key()}, recorded "
@@ -1289,6 +1460,8 @@ class CoordinateManager:
                 raise RuntimeError(f"unknown oplog entry {op!r}")
         if mgr is None:
             raise RuntimeError("empty oplog")
+        if use_deferred == "traced":
+            return mgr  # checks stay on device: see traced_ok()
         if use_deferred:
             mgr._finalize_deferred()
         return mgr

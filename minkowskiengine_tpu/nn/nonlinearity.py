@@ -173,18 +173,109 @@ class MinkowskiLogSoftmax(MinkowskiNonlinearityBase):
 
 
 class MinkowskiAdaptiveLogSoftmaxWithLoss(MinkowskiModuleBase):
-    """Hierarchical softmax for very large label spaces.
+    """Hierarchical (adaptive) softmax for very large label spaces.
 
-    Present for API parity (reference wraps
-    torch.nn.AdaptiveLogSoftmaxWithLoss, MinkowskiNonlinearity.py:162);
-    no sparse-tensor workload in the reference exercises it.
+    Functional port of ``torch.nn.AdaptiveLogSoftmaxWithLoss`` semantics
+    (reference wraps it, MinkowskiNonlinearity.py:162): frequent classes
+    (``< cutoffs[0]``) live in the head; rarer classes live in per-cluster
+    tails whose projections shrink by ``div_value`` per cluster.  Applied
+    to a SparseTensor's valid rows with integer targets; returns
+    ``(target_log_probs, loss)`` like torch's ``ASMoutput``.
     """
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "MinkowskiAdaptiveLogSoftmaxWithLoss is not implemented on TPU; "
-            "use MinkowskiLogSoftmax + a standard cross-entropy loss"
+    def __init__(
+        self,
+        in_features: int,
+        n_classes: int,
+        cutoffs,
+        div_value: float = 4.0,
+        head_bias: bool = False,
+        rngs=None,
+    ):
+        cutoffs = list(cutoffs)
+        if (
+            sorted(cutoffs) != cutoffs
+            or min(cutoffs) <= 0
+            or max(cutoffs) > n_classes - 1
+            or len(set(cutoffs)) != len(cutoffs)
+        ):
+            raise ValueError(
+                "cutoffs must be a sorted list of unique positive ints "
+                "< n_classes - 1"
+            )
+        rngs = resolve_rngs(rngs)
+        self.in_features = int(in_features)
+        self.n_classes = int(n_classes)
+        self.cutoffs = cutoffs + [int(n_classes)]
+        self.div_value = float(div_value)
+        self.shortlist_size = cutoffs[0]
+        self.n_clusters = len(cutoffs)
+        self.head_size = self.shortlist_size + self.n_clusters
+        self.head = nnx.Linear(
+            in_features, self.head_size, use_bias=head_bias, rngs=rngs
         )
+        tail = []
+        for i in range(self.n_clusters):
+            hsz = max(1, int(in_features // (self.div_value ** (i + 1))))
+            osz = self.cutoffs[i + 1] - self.cutoffs[i]
+            tail.append(
+                nnx.List(
+                    [
+                        nnx.Linear(in_features, hsz, use_bias=False, rngs=rngs),
+                        nnx.Linear(hsz, osz, use_bias=False, rngs=rngs),
+                    ]
+                )
+            )
+        self.tail = nnx.List(tail)
+
+    def __call__(self, input, target):
+        feats = input.padded_features
+        target = jnp.asarray(target)
+        valid = input.valid_row_mask
+        safe_target = jnp.where(valid, target, 0)
+
+        head_logprob = jax.nn.log_softmax(self.head(feats), axis=-1)
+        # shortlist: gather the target's head log-prob
+        out = jnp.take_along_axis(
+            head_logprob,
+            jnp.clip(safe_target, 0, self.head_size - 1)[:, None],
+            axis=-1,
+        )[:, 0]
+        for i in range(self.n_clusters):
+            lo, hi = self.cutoffs[i], self.cutoffs[i + 1]
+            in_cluster = (safe_target >= lo) & (safe_target < hi)
+            proj, out_lin = self.tail[i]
+            tail_logprob = jax.nn.log_softmax(
+                out_lin(proj(feats)), axis=-1
+            )
+            rel = jnp.clip(safe_target - lo, 0, hi - lo - 1)
+            cluster_lp = (
+                head_logprob[:, self.shortlist_size + i]
+                + jnp.take_along_axis(tail_logprob, rel[:, None], -1)[:, 0]
+            )
+            out = jnp.where(in_cluster, cluster_lp, out)
+        out = jnp.where(valid, out, 0.0)
+        loss = -jnp.sum(out) / jnp.maximum(
+            jnp.sum(valid.astype(out.dtype)), 1.0
+        )
+        return out, loss
+
+    def log_prob(self, input):
+        """(capacity, n_classes) full log-probability table."""
+        feats = input.padded_features
+        head_logprob = jax.nn.log_softmax(self.head(feats), axis=-1)
+        parts = [head_logprob[:, : self.shortlist_size]]
+        for i in range(self.n_clusters):
+            proj, out_lin = self.tail[i]
+            tail_logprob = jax.nn.log_softmax(out_lin(proj(feats)), -1)
+            parts.append(
+                head_logprob[:, self.shortlist_size + i : self.shortlist_size + i + 1]
+                + tail_logprob
+            )
+        return jnp.concatenate(parts, axis=-1)
+
+    def predict(self, input):
+        return jnp.argmax(self.log_prob(input), axis=-1)
 
 
 class MinkowskiDropout(MinkowskiNonlinearityBase):
@@ -205,8 +296,29 @@ class MinkowskiDropout(MinkowskiNonlinearityBase):
 
 
 class MinkowskiAlphaDropout(MinkowskiDropout):
-    """Alpha dropout degrades to standard dropout here (SELU-specific noise
-    statistics are not preserved; sufficient for API parity)."""
+    """Alpha dropout (SELU-preserving): dropped entries are set to the
+    negative SELU saturation value and the result is affinely rescaled so
+    the self-normalizing mean/variance are preserved
+    (torch.nn.AlphaDropout semantics; reference MinkowskiNonlinearity.py)."""
+
+    preserves_zero = False  # dropped zeros become a*alpha' + b != 0
+    _ALPHA_PRIME = -1.7580993408473766  # -scale * alpha of SELU
+
+    def __init__(self, p: float = 0.5, inplace: bool = False, rngs=None):
+        super().__init__(p, inplace, rngs=rngs)
+        self._rngs = resolve_rngs(rngs)
+
+    def _fn(self, x):
+        if not self.training or self.p == 0.0:
+            return x
+        p, ap = self.p, self._ALPHA_PRIME
+        a = (1.0 - p) * (1.0 + p * ap * ap)
+        a = a ** -0.5
+        b = -a * ap * p
+        keep = jax.random.bernoulli(
+            self._rngs.dropout(), 1.0 - p, x.shape
+        )
+        return a * jnp.where(keep, x, ap) + b
 
 
 class MinkowskiSinusoidal(MinkowskiModuleBase):

@@ -77,6 +77,36 @@ def _flat_indices(coords, valid, mins, extents_arr, tensor_stride):
     return jnp.where(valid, flat.astype(jnp.int32), -1)
 
 
+def build_dense_plan_traced(coordinate_map, bbox_dev, grid_shape_floor):
+    """Traceable dense plan at a KNOWN (ratcheted) grid shape.
+
+    ``bbox_dev`` is the (2, D+1) device mins/maxs computed in the same trace;
+    the static grid shape comes from the floor.  Returns (plan, ok) where
+    ``ok`` is a device bool asserting the true extents fit the floor — the
+    traced replay syncs it once per batch and falls back when violated.
+    """
+    coords = coordinate_map.coordinates
+    valid = coordinate_map.valid_mask()
+    ts = np.asarray(coordinate_map.tensor_stride, np.int32)
+    mins, maxs = bbox_dev[0], bbox_dev[1]
+    batches = int(grid_shape_floor[0])
+    extents = np.asarray(grid_shape_floor[1:], np.int32)
+    flat = _flat_indices(
+        coords,
+        valid,
+        mins,
+        jnp.asarray(extents),
+        jnp.asarray(ts),
+    )
+    true_ext = jnp.maximum(
+        (maxs[1:] - mins[1:]) // jnp.asarray(ts, maxs.dtype) + 1, 1
+    )
+    ok = jnp.all(true_ext <= jnp.asarray(extents, maxs.dtype)) & (
+        (maxs[0] - mins[0] + 1) <= batches
+    )
+    return DensePlan(flat, tuple(int(g) for g in grid_shape_floor)), ok
+
+
 def build_dense_plan(
     coordinate_map, bbox=None, extent_floor=None
 ) -> Optional[DensePlan]:

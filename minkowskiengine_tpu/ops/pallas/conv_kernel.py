@@ -174,6 +174,26 @@ def build_slab_map_from_span(
     return SlabMap(starts, local_tk, slab, tile, capacity_in)
 
 
+def build_slab_map_floored(
+    in_idx: jnp.ndarray,
+    capacity_in: int,
+    slab: int,
+    tile: int = DEFAULT_TILE,
+) -> Optional[SlabMap]:
+    """Slab decomposition at a KNOWN (ratcheted-floor) slab size — fully
+    traceable: no host span fetch.  Used by the traced replay, which checks
+    ``span + 15 <= slab`` separately (mirroring build_slab_map_from_span's
+    ``needed = max_span + 15`` alignment margin) and falls back to the sync
+    path when the floor is violated."""
+    K, Co = in_idx.shape
+    tile = min(tile, Co)
+    if Co % tile != 0 or slab <= 0:
+        return None
+    slab = min(int(slab), capacity_in)
+    starts, local_tk = _slab_metadata(in_idx, capacity_in, tile, slab)
+    return SlabMap(starts, local_tk, slab, tile, capacity_in)
+
+
 def build_slab_map(
     in_idx: jnp.ndarray, capacity_in: int, tile: int = DEFAULT_TILE
 ) -> Optional[SlabMap]:

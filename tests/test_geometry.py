@@ -110,6 +110,68 @@ class TestGeometryPipeline:
         with pytest.raises(RuntimeError, match="frozen"):
             view.insert_and_map(np.array([[0, 1, 1, 1]], np.int32))
 
+    def test_compiled_replayer_matches_eager(self, warm):
+        """The fully-traced coordinate phase (ONE jitted program per batch)
+        must produce bit-identical results to the eager path, never fall
+        back once ratchets are settled, and recover transparently when a
+        floor is violated."""
+        x, net = warm
+        sync = ME.GeometryReplayer(x.coordinate_manager)
+        for s in range(1, 4):  # settle ratchets
+            sync(cloud(s)[0])
+        crep = ME.CompiledReplayer(x.coordinate_manager)
+        crep.cap_floors = dict(sync.cap_floors)
+        crep.slab_floors = dict(sync.slab_floors)
+        crep.grid_floors = dict(sync.grid_floors)
+        crep.join_floors = dict(sync.join_floors)
+
+        graphdef, state = nnx.split(net)
+
+        @jax.jit
+        def step(state, feats, geo):
+            model = nnx.merge(graphdef, state)
+            mgr = ME.CoordinateManager.from_geometry(geo)
+            xt = ME.SparseTensor(
+                feats,
+                coordinate_map_key=geo.entry_key,
+                coordinate_manager=mgr,
+            )
+            return model(xt).padded_features
+
+        for s in range(4, 8):
+            c, f = cloud(s)
+            geo, fp = crep(c, f)
+            out = step(state, fp, geo)
+            oe = net(ME.SparseTensor(f, c))
+            n = oe.size
+            np.testing.assert_allclose(
+                np.asarray(out)[:n],
+                np.asarray(oe.padded_features)[:n],
+                rtol=2e-5,
+                atol=2e-5,
+            )
+        assert crep._version == 0, "traced path fell back on settled floors"
+
+        # floor violation: transparently recovers (ratchet + sync replay)
+        c, f = cloud(9, n=3000, hi=28)
+        geo, fp = crep(c, f)
+        assert crep._version >= 1
+        out = step(state, fp, geo)
+        oe = net(ME.SparseTensor(f, c))
+        n = oe.size
+        np.testing.assert_allclose(
+            np.asarray(out)[:n],
+            np.asarray(oe.padded_features)[:n],
+            rtol=2e-5,
+            atol=2e-5,
+        )
+        # once the big bucket settles, big clouds trace again
+        for s in (10, 11):
+            crep(*cloud(s, n=3000, hi=28))
+        v = crep._version
+        geo, fp = crep(*cloud(12, n=3000, hi=28))
+        assert crep._version == v, "big bucket still falling back"
+
     def test_stacked_geometries(self, warm):
         """stack_geometries produces a leading device axis on every leaf."""
         x, _ = warm
