@@ -302,34 +302,15 @@ def main():
             ME.set_compute_dtype(None)
 
         # ---- fresh-geometry train step: the REAL training regime ---------
-        # Every batch is a brand-new point cloud: the ENTIRE coordinate
-        # phase runs as one compiled program (CompiledReplayer — slab/grid
-        # shapes pinned to ratcheted floors, floor checks synced with the
-        # loss), then the jitted step hits its cache (no retrace).
+        # Every batch is a brand-new point cloud.  The ENTIRE batch —
+        # coordinate phase (CompiledReplayer.trace: slab/grid shapes pinned
+        # to ratcheted floors) + feature reduction + fwd + bwd — is ONE
+        # compiled program; the floor-validity bool syncs with the loss.
         replayer = ME.GeometryReplayer(mgr)
         graphdef, gstate = nnx.split(net)
         labels_big = jnp.asarray(
             np.random.RandomState(1).randint(0, 20, 4 * cap)
         )
-
-        @jax.jit
-        def fresh_step(state, f, geo):
-            model = nnx.merge(graphdef, state)
-
-            def loss_fn(m):
-                vmgr = ME.CoordinateManager.from_geometry(geo)
-                xt = ME.SparseTensor(
-                    f, coordinate_map_key=geo.entry_key,
-                    coordinate_manager=vmgr,
-                )
-                logits = m(xt).padded_features
-                mask = xt.valid_row_mask.astype(jnp.float32)
-                losses = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, labels_big[: logits.shape[0]]
-                )
-                return jnp.sum(losses * mask) / jnp.sum(mask)
-
-            return nnx.value_and_grad(loss_fn)(model)
 
         fresh_clouds = [make_cloud(seed=s) for s in range(1, 7)]
         for c, _ in fresh_clouds:  # settle capacity/slab ratchets
@@ -340,10 +321,41 @@ def main():
         crep.grid_floors = dict(replayer.grid_floors)
         crep.join_floors = dict(replayer.join_floors)
 
+        @jax.jit
+        def fused_fresh_step(state, coords_p, n, feats_p):
+            geo, fp, ok = crep.trace(coords_p, n, feats_p)
+            model = nnx.merge(graphdef, state)
+
+            def loss_fn(m):
+                vmgr = ME.CoordinateManager.from_geometry(geo)
+                xt = ME.SparseTensor(
+                    fp, coordinate_map_key=geo.entry_key,
+                    coordinate_manager=vmgr,
+                )
+                logits = m(xt).padded_features
+                mask = xt.valid_row_mask.astype(jnp.float32)
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels_big[: logits.shape[0]]
+                )
+                return jnp.sum(losses * mask) / jnp.sum(mask)
+
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            return loss, grads, ok
+
+        from minkowskiengine_tpu.coords.map import bucket_capacity
+
         def one_fresh_batch(c, f):
-            geo, fp, ok = crep.run(c, f)
-            out = fresh_step(gstate, fp, geo)
-            jax.block_until_ready((jax.tree.leaves(out), ok))
+            n = len(c)
+            bcap = bucket_capacity(n)
+            cp = np.zeros((bcap, c.shape[1]), np.int32)
+            cp[:n] = c
+            fp = np.zeros((bcap, f.shape[1]), f.dtype)
+            fp[:n] = f
+            loss, grads, ok = fused_fresh_step(
+                gstate, jnp.asarray(cp), jnp.asarray(n, jnp.int32),
+                jnp.asarray(fp),
+            )
+            jax.block_until_ready((loss, ok))
             assert bool(ok)
 
         for c, f in fresh_clouds:  # compile + warm every bucket
