@@ -229,7 +229,13 @@ class CompiledReplayer:
         key = (cap, coords.shape[1], fshape, self._version)
         fn = self._jits.get(key)
         if fn is None:
-            fn = jax.jit(self.trace)
+            # jit a FRESH closure, not the bound method: bound methods of
+            # the same instance compare equal, so jax's jit cache would
+            # resurrect an executable traced with PRE-ratchet floors after
+            # recover() — the floor checks would then fail forever and every
+            # batch would silently take the slow sync-replay path.
+            trace = self.trace
+            fn = jax.jit(lambda *a: trace(*a))
             self._jits[key] = fn
         if features is None:
             geo, fp, ok = fn(args[0], args[1])
@@ -239,7 +245,13 @@ class CompiledReplayer:
 
     def recover(self, coordinates, features=None):
         """Sync-replay fallback for a failed batch: ratchets the violated
-        floors and invalidates the compiled programs."""
+        floors and invalidates the compiled programs.
+
+        Ratchets OVERSHOOT the measured need (spans ×1.3 before ladder
+        quantization): a violation means geometry statistics drifted past
+        the settled floors, and similar clouds will follow — creeping up
+        one ladder rung per violating batch would recompile every time.
+        """
         from .manager import CoordinateManager
 
         mgr = CoordinateManager.replay(
@@ -250,6 +262,7 @@ class CompiledReplayer:
             grid_floors=self.grid_floors,
             join_floors=self.join_floors,
             deferred=True,
+            overprovision=1.3,
         )
         self.cap_floors.update(mgr._cap_floors)
         self.slab_floors.update(mgr._slab_floors)

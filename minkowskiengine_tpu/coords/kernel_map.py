@@ -197,6 +197,7 @@ def build_kernel_map(
     defer_slabs: bool = False,
     join_slab=None,
     join_stats=None,
+    span_margin: float = 1.0,
 ) -> KernelMap:
     """Build the dense kernel map for absolute coordinate ``offsets``.
 
@@ -241,10 +242,12 @@ def build_kernel_map(
         return kmap, fwd_span_dev, bwd_span_dev
     fwd_span, bwd_span = jax.device_get((fwd_span_dev, bwd_span_dev))
     fwd_slab = build_slab_map_from_span(
-        in_idx, in_map.capacity, int(fwd_span), min_slab=slab_floor[0]
+        in_idx, in_map.capacity, int(int(fwd_span) * span_margin),
+        min_slab=slab_floor[0],
     )
     bwd_slab = build_slab_map_from_span(
-        out_idx_t, out_map.capacity, int(bwd_span), min_slab=slab_floor[1]
+        out_idx_t, out_map.capacity, int(int(bwd_span) * span_margin),
+        min_slab=slab_floor[1],
     )
     return KernelMap(
         in_idx, out_idx_t, in_map.size_arr, out_map.size_arr, fwd_slab, bwd_slab

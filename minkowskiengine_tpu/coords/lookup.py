@@ -164,6 +164,8 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo, stats=None):
     slab = join_slab_for_span(span, C)
     if stats is not None:
         stats["join_slab"] = slab
+        stats["join_span"] = span
+        stats["join_capacity"] = C
     if slab > _MAX_JOIN_SLAB:
         return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
     return _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)

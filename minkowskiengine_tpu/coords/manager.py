@@ -278,6 +278,10 @@ class CoordinateManager:
         self._insert_results: Dict[tuple, tuple] = {}
         # deferred-sync replay state (see _finalize_deferred)
         self._deferred: Optional[dict] = None
+        # span over-provision margin: >1 during floor-violation recovery so
+        # ratchets overshoot the measured need and converge in one step
+        # instead of creeping up one ladder rung per violating cloud
+        self._span_margin: float = 1.0
 
     def _record(self, *entry) -> None:
         if not self._frozen:
@@ -777,6 +781,7 @@ class CoordinateManager:
                     kmap = build_kernel_map(
                         in_map, out_map, offs,
                         slab_floor=self._slab_floors.get(cache_key, (0, 0)),
+                        span_margin=self._span_margin,
                         **js,
                     )
                     self._join_done(cache_key, js)
@@ -821,7 +826,8 @@ class CoordinateManager:
                     js = self._join_args(cache_key)
                     kmap = build_kernel_map(
                         out_map, in_map, offs,
-                        slab_floor=(floor[1], floor[0]), **js,
+                        slab_floor=(floor[1], floor[0]),
+                        span_margin=self._span_margin, **js,
                     ).swap()
                     self._join_done(cache_key, js)
 
@@ -1099,8 +1105,16 @@ class CoordinateManager:
         if "ok" in stats:  # traced: queue the span-fits check
             self._deferred["checks"].append(stats["ok"])
         if "join_slab" in stats:  # sync: ratchet the rung
+            slab = stats["join_slab"]
+            if self._span_margin > 1.0 and slab and "join_span" in stats:
+                from .lookup import join_slab_for_span
+
+                slab = max(slab, join_slab_for_span(
+                    int(stats["join_span"] * self._span_margin),
+                    stats["join_capacity"],
+                ))
             self._join_floors[cache_key] = max(
-                self._join_floors.get(cache_key, 0), stats["join_slab"]
+                self._join_floors.get(cache_key, 0), slab
             )
 
     def _attach_floored_slabs(self, kmap, cache_key):
@@ -1195,14 +1209,15 @@ class CoordinateManager:
             self._interp_cache[("bbox", key_t)] = np.asarray(b)
         from ..ops.pallas.conv_kernel import build_slab_map_from_span
 
+        m = self._span_margin
         for (cache_key, _, _), (fs, bs) in zip(d["slabs"], spans_h):
             kmap = self._kernel_maps[cache_key]
             floor = self._slab_floors.get(cache_key, (0, 0))
             fwd = build_slab_map_from_span(
-                kmap.in_idx, kmap.capacity_in, int(fs), min_slab=floor[0]
+                kmap.in_idx, kmap.capacity_in, int(int(fs) * m), min_slab=floor[0]
             )
             bwd = build_slab_map_from_span(
-                kmap.out_idx_t, kmap.capacity_out, int(bs), min_slab=floor[1]
+                kmap.out_idx_t, kmap.capacity_out, int(int(bs) * m), min_slab=floor[1]
             )
             self._kernel_maps[cache_key] = KernelMap(
                 kmap.in_idx, kmap.out_idx_t, kmap.n_in, kmap.n_out, fwd, bwd
@@ -1314,6 +1329,7 @@ class CoordinateManager:
         traced: bool = False,
         n_valids=None,
         join_floors: Optional[Dict[tuple, int]] = None,
+        overprovision: float = 1.0,
     ) -> "CoordinateManager":
         """Re-run a recorded coordinate-op recipe against new coordinates.
 
@@ -1355,21 +1371,21 @@ class CoordinateManager:
                 return cls._replay_once(
                     oplog, coordinates, tensor_stride,
                     cap_floors, slab_floors, grid_floors, True, n_valids,
-                    join_floors,
+                    join_floors, overprovision,
                 )
             except CapacityFloorExceeded:
                 pass  # sync replay below recomputes and ratchets floors
         return cls._replay_once(
             oplog, coordinates, tensor_stride,
             cap_floors, slab_floors, grid_floors, False, n_valids,
-            join_floors,
+            join_floors, overprovision,
         )
 
     @classmethod
     def _replay_once(
         cls, oplog, coordinates, tensor_stride,
         cap_floors, slab_floors, grid_floors, use_deferred, n_valids=None,
-        join_floors=None,
+        join_floors=None, overprovision: float = 1.0,
     ) -> "CoordinateManager":
         if not isinstance(coordinates, (list, tuple)):
             coordinates = [coordinates]
@@ -1385,6 +1401,7 @@ class CoordinateManager:
                 c = next(coords_iter)
                 if mgr is None:
                     mgr = cls(D=int(c.shape[1]) - 1)
+                    mgr._span_margin = float(overprovision)
                     if cap_floors:
                         mgr._cap_floors.update(cap_floors)
                     if slab_floors:
