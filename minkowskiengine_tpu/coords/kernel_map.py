@@ -142,6 +142,60 @@ def _build_queries(in_hi, in_lo, out_coords, n_out, offsets):
     return jnp.where(invalid, pad_hi, q_hi), jnp.where(invalid, pad_lo, q_lo)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def grid_lookup(row_grid, mins, grid_shape, tensor_stride, q):
+    """Map rows for query coordinates via the dense bbox row grid.
+
+    The TPU-native hash probe: O(1) gather per query instead of a sorted
+    join or binary search (reference's hash tables:
+    src/coordinate_map_cpu.hpp:388-411, src/coordinate_map_gpu.cu:320-359).
+
+    Args:
+      row_grid: (cells + 1,) int32 from ops.dense_conv.build_row_grid;
+        the sentinel cell at index ``cells`` holds -1.
+      mins: (D+1,) int32 device bbox minima (grid origin, batch first).
+      grid_shape: static (B, E_1..E_D).
+      tensor_stride: static D-tuple.
+      q: (..., D+1) int32 query coordinates.
+
+    Returns:
+      (...,) int32 rows, -1 where absent / out of the grid.
+    """
+    ext = grid_shape[1:]
+    cells = int(np.prod(grid_shape))
+    b = q[..., 0] - mins[0]
+    rel = q[..., 1:] - mins[1:]
+    tsv = jnp.asarray(tensor_stride, jnp.int32)
+    div = rel // tsv
+    ok = (
+        (b >= 0)
+        & (b < grid_shape[0])
+        & jnp.all(rel % tsv == 0, axis=-1)
+        & jnp.all((div >= 0) & (div < jnp.asarray(ext, jnp.int32)), axis=-1)
+    )
+    flat = b
+    for d in range(len(ext)):
+        flat = flat * ext[d] + div[..., d]
+    flat = jnp.where(ok, flat, cells)  # sentinel cell -> -1
+    return jnp.take(row_grid, flat, mode="clip")
+
+
+def _build_in_idx_grid(probe, out_coords, n_out, offsets):
+    """Grid-probe variant of ``_build_in_idx`` — bit-identical results.
+
+    ``probe`` = (row_grid, mins, grid_shape, tensor_stride) of the PROBED
+    (input-side) map.  A probe coordinate outside the packed-key budget
+    cannot be a map row (inserts reject overflow), and it is also outside
+    the map's bbox grid, so both paths agree on -1.
+    """
+    row_grid, mins, grid_shape, ts = probe
+    C_out = out_coords.shape[0]
+    q = out_coords[None, :, :] + offsets[:, None, :]  # (K, C_out, D+1)
+    rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
+    valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
+    return jnp.where(valid_out, rows, -1)
+
+
 def _build_in_idx(
     in_hi, in_lo, n_in, out_coords, n_out, offsets,
     join_slab=None, join_stats=None,
@@ -198,6 +252,7 @@ def build_kernel_map(
     join_slab=None,
     join_stats=None,
     span_margin: float = 1.0,
+    probe=None,
 ) -> KernelMap:
     """Build the dense kernel map for absolute coordinate ``offsets``.
 
@@ -205,6 +260,10 @@ def build_kernel_map(
     src/coordinate_map_cpu.hpp:569-670): iterate output coordinates, probe
     ``out_coord + offset_k`` in the input map.  Vectorized over all
     (offset, output) pairs in one jitted call.
+
+    ``probe``: optional (row_grid, mins, grid_shape, tensor_stride) of the
+    input map — switches the lookup from the sorted join to O(1) grid
+    gathers (~6× faster at 32k rows; bit-identical results).
     """
     offsets = np.asarray(offsets, dtype=np.int32)
     d1 = in_map.coordinates.shape[1]
@@ -212,16 +271,21 @@ def build_kernel_map(
         offsets = np.concatenate(
             [np.zeros((offsets.shape[0], 1), np.int32), offsets], axis=1
         )
-    in_idx = _build_in_idx(
-        in_map.key_hi,
-        in_map.key_lo,
-        in_map.size_arr,
-        out_map.coordinates,
-        out_map.size_arr,
-        jnp.asarray(offsets),
-        join_slab=join_slab,
-        join_stats=join_stats,
-    )
+    if probe is not None:
+        in_idx = _build_in_idx_grid(
+            probe, out_map.coordinates, out_map.size_arr, jnp.asarray(offsets)
+        )
+    else:
+        in_idx = _build_in_idx(
+            in_map.key_hi,
+            in_map.key_lo,
+            in_map.size_arr,
+            out_map.coordinates,
+            out_map.size_arr,
+            jnp.asarray(offsets),
+            join_slab=join_slab,
+            join_stats=join_stats,
+        )
     out_idx_t = _invert_matching(in_idx, in_map.capacity)
     from ..ops.pallas.conv_kernel import (
         build_slab_map_from_span,
@@ -266,15 +330,35 @@ def _build_stride_in_to_out(out_hi, out_lo, n_out, in_coords, n_in, stride):
     return jnp.where(valid, rows, -1)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _stride_in_to_out_grid(row_grid, mins, grid_shape, ts, in_coords, n_in, stride):
+    batch = in_coords[:, :1]
+    spatial = jnp.floor_divide(in_coords[:, 1:], stride) * stride
+    queries = jnp.concatenate([batch, spatial], axis=1)
+    rows = grid_lookup(row_grid, mins, grid_shape, ts, queries)
+    valid = jnp.arange(in_coords.shape[0], dtype=jnp.int32) < n_in
+    return jnp.where(valid, rows, -1)
+
+
 def build_stride_map(
-    in_map: CoordinateMap, out_map: CoordinateMap, out_tensor_stride
+    in_map: CoordinateMap, out_map: CoordinateMap, out_tensor_stride,
+    probe=None,
 ) -> jnp.ndarray:
     """(C_in,) int32: output row per input row (many-to-one), -1 padding.
 
     Reference: ``stride_map`` (src/coordinate_map_cpu.hpp:672-722) — the
     pooling fast path when stride == kernel_size, and the quantization map.
+
+    ``probe``: optional grid-probe tuple of the OUTPUT map (see
+    ``build_kernel_map``) — replaces the binary search with O(1) gathers.
     """
     stride = jnp.asarray(np.asarray(out_tensor_stride, np.int32))
+    if probe is not None:
+        row_grid, mins, grid_shape, ts = probe
+        return _stride_in_to_out_grid(
+            row_grid, mins, grid_shape, ts,
+            in_map.coordinates, in_map.size_arr, stride,
+        )
     return _build_stride_in_to_out(
         out_map.key_hi,
         out_map.key_lo,

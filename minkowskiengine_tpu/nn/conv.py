@@ -193,12 +193,29 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
         ):
             return False
         plan = input.coordinate_manager.dense_plan(input.coordinate_map_key)
+        region = kg.get_kernel(
+            input.coordinate_map_key.get_tensor_stride(), False
+        )
+        cached = input.coordinate_manager.has_kernel_map(
+            input.coordinate_map_key,
+            input.coordinate_map_key,  # stride 1: out map == in map
+            stride=kg.kernel_stride,
+            kernel_size=kg.kernel_size,
+            dilation=kg.kernel_dilation,
+            region_type=region.region_type,
+            region_offsets=(
+                region.offsets
+                if region.region_type == RegionType.CUSTOM
+                else None
+            ),
+        )
         return dense_conv_beneficial(
             plan,
             input.capacity,
             kg.kernel_volume,
             self.in_channels,
             self.out_channels,
+            map_cached=cached,
         )
 
     def _kernel_map(self, input: SparseTensor, out_key: CoordinateMapKey):

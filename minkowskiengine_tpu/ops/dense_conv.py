@@ -26,11 +26,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# cost-model constants calibrated on v5e (see CLAUDE.md):
-# dense time is nearly channel/K-independent (scatter + XLA conv overhead,
-# ~0.9 ms at 265k cells); sparse slab-kernel time scales with grid steps.
-_DENSE_US_PER_CELL = 0.0035
-_SPARSE_US_PER_STEP = 0.1
+# cost-model constants re-calibrated on v5e (26k-pt ScanNet-scale cloud,
+# 459k-cell grid, overlapped 50-conv chains — see CLAUDE.md measurement
+# rules).  Measured: dense k3 3→32 = 5.3 ms, 32→32 = 7.2 ms, 128→128 =
+# 9.4 ms (dense pays conv FLOPs on EMPTY cells, so it scales with
+# channels); sparse k3 = 1.8 ms channel-independent ≤128ch, k5 = 7.8 ms
+# (≈0.5 µs per grid step); kernel-map build ≈ 0.013 µs per (offset, row)
+# pair (dominated by the 7 ns/elem HBM gather + the invert scatter).
+_DENSE_US_PER_CELL_BASE = 0.0105
+_DENSE_US_PER_CELL_CH = 0.00004  # per (cin + cout)
+_SPARSE_US_PER_STEP = 0.5
+_KMAP_BUILD_US_PER_PAIR = 0.013
+_KMAP_AMORTIZE = 6.0  # ~block convs sharing one cached kernel map
 _MAX_DENSE_BYTES = 1 << 30
 
 
@@ -42,22 +49,26 @@ class DensePlan:
     flat_idx: (C,) int32 — flattened cell index per map row (batch-major),
       -1 for padding rows.
     grid_shape: static (B, E_1..E_D) cell counts.
+    mins: (D+1,) int32 device bbox minima (batch first) — the grid origin.
+      Needed by grid-probe lookups (coords/kernel_map.py); unused by the
+      dense conv itself.
     """
 
     flat_idx: jnp.ndarray
     grid_shape: Tuple[int, ...]
+    mins: Optional[jnp.ndarray] = None
 
     @property
     def cells(self) -> int:
         return int(np.prod(self.grid_shape))
 
     def tree_flatten(self):
-        return (self.flat_idx,), (self.grid_shape,)
+        return (self.flat_idx, self.mins), (self.grid_shape,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (flat_idx,) = children
-        return cls(flat_idx, aux[0])
+        flat_idx, mins = children
+        return cls(flat_idx, aux[0], mins)
 
 
 @jax.jit
@@ -104,11 +115,14 @@ def build_dense_plan_traced(coordinate_map, bbox_dev, grid_shape_floor):
     ok = jnp.all(true_ext <= jnp.asarray(extents, maxs.dtype)) & (
         (maxs[0] - mins[0] + 1) <= batches
     )
-    return DensePlan(flat, tuple(int(g) for g in grid_shape_floor)), ok
+    plan = DensePlan(
+        flat, tuple(int(g) for g in grid_shape_floor), mins.astype(jnp.int32)
+    )
+    return plan, ok
 
 
 def build_dense_plan(
-    coordinate_map, bbox=None, extent_floor=None
+    coordinate_map, bbox=None, extent_floor=None, margin=1.0
 ) -> Optional[DensePlan]:
     """Dense plan for a coordinate map.
 
@@ -128,15 +142,11 @@ def build_dense_plan(
         mins, maxs = jax.device_get((mins_d, maxs_d))
     if (maxs < mins).any():  # empty map
         return None
-    extents = np.maximum((maxs[1:] - mins[1:]) // ts + 1, 1)
-    # round extents up to multiples of 16: stable conv shapes across
-    # geometry jitter (each new dense shape is an XLA recompile)
-    extents = ((extents + 15) // 16) * 16
-    batches = int(maxs[0] - mins[0] + 1)
-    if extent_floor is not None:
-        batches = max(batches, int(extent_floor[0]))
-        extents = np.maximum(extents, np.asarray(extent_floor[1:]))
-    grid_shape = (batches,) + tuple(int(e) for e in extents)
+    # 16-multiple extents: stable conv/grid shapes across geometry jitter
+    # (each new dense shape is an XLA recompile)
+    grid_shape = grid_shape_from_bbox((mins, maxs), ts, extent_floor, margin)
+    batches = grid_shape[0]
+    extents = np.asarray(grid_shape[1:], np.int64)
     flat = _flat_indices(
         coords,
         valid,
@@ -144,7 +154,40 @@ def build_dense_plan(
         jnp.asarray(extents.astype(np.int32)),
         jnp.asarray(ts.astype(np.int32)),
     )
-    return DensePlan(flat, grid_shape)
+    return DensePlan(flat, grid_shape, jnp.asarray(mins, jnp.int32))
+
+
+def grid_shape_from_bbox(bbox, tensor_stride, extent_floor=None, margin=1.0):
+    """(batches, *extents) for a host bbox — the shared grid-shape formula
+    (16-multiple extents for shape stability) used by dense plans and the
+    row-grid probes.  ``margin`` > 1 overshoots the spatial extents
+    (recovery ratchets: converge in one step under geometry drift)."""
+    mins, maxs = np.asarray(bbox[0]), np.asarray(bbox[1])
+    ts = np.asarray(tensor_stride, np.int64)
+    extents = np.maximum((maxs[1:] - mins[1:]) // ts + 1, 1)
+    if margin > 1.0:
+        extents = np.ceil(extents * margin).astype(extents.dtype)
+    extents = ((extents + 15) // 16) * 16
+    batches = int(maxs[0] - mins[0] + 1)
+    if extent_floor is not None:
+        batches = max(batches, int(extent_floor[0]))
+        extents = np.maximum(extents, np.asarray(extent_floor[1:]))
+    return (batches,) + tuple(int(e) for e in extents)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def build_row_grid(flat_idx: jnp.ndarray, cells: int) -> jnp.ndarray:
+    """(cells + 1,) int32 inverse of a DensePlan: row id per grid cell, -1
+    for empty cells.  The extra trailing cell stays -1 so out-of-bounds
+    probes can be routed there.  This is the TPU replacement for a hash
+    probe: coordinate lookup = O(1) gather from the bbox grid."""
+    rows = jnp.arange(flat_idx.shape[0], dtype=jnp.int32)
+    # padding rows target cells+1: out of range, dropped — the sentinel cell
+    # at index ``cells`` must stay -1 (out-of-bounds probes land there)
+    safe = jnp.where(flat_idx >= 0, flat_idx, cells + 1)
+    return (
+        jnp.full((cells + 1,), -1, jnp.int32).at[safe].set(rows, mode="drop")
+    )
 
 
 def dense_conv_beneficial(
@@ -154,17 +197,35 @@ def dense_conv_beneficial(
     cin: int,
     cout: int,
     tile: int = 256,
+    map_cached: bool = True,
 ) -> bool:
-    """Cost model: dense scatter+conv+gather vs the sparse slab kernel."""
+    """Cost model: dense scatter+conv+gather vs the sparse slab kernel.
+
+    ``map_cached=False`` adds the (amortized) kernel-map build cost to the
+    sparse side — on fresh geometry every batch rebuilds its maps, and a
+    125-offset map at 32k rows costs ~55 ms to build, an order of magnitude
+    more than either conv.  This is what routes MinkUNet's k=5 stem to the
+    dense grid in the fresh-geometry training regime.
+    """
     if plan is None:
         return False
     cells = plan.cells
     if cells * (cin + cout) * 4 > _MAX_DENSE_BYTES:
         return False
-    dense_us = cells * _DENSE_US_PER_CELL
+    kscale = (kernel_volume / 27.0) ** 0.3  # k5/k3 measured ratio ~1.57
+    dense_us = (
+        cells
+        * (_DENSE_US_PER_CELL_BASE + _DENSE_US_PER_CELL_CH * (cin + cout))
+        * kscale
+    )
     steps = max(n_points_capacity // tile, 1) * kernel_volume
     sparse_us = steps * _SPARSE_US_PER_STEP
-    return dense_us < 0.8 * sparse_us
+    if not map_cached:
+        sparse_us += (
+            _KMAP_BUILD_US_PER_PAIR * kernel_volume * n_points_capacity
+            / _KMAP_AMORTIZE
+        )
+    return dense_us < sparse_us
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
