@@ -247,13 +247,13 @@ def build_kernel_map(
     in_map: CoordinateMap,
     out_map: CoordinateMap,
     offsets: np.ndarray,
-    slab_floor: Tuple[int, int] = (0, 0),
+    slab_floor=None,
     defer_slabs: bool = False,
     join_slab=None,
     join_stats=None,
     span_margin: float = 1.0,
     probe=None,
-) -> KernelMap:
+) -> KernelMap:  # slab_floor: None or ((S, U), (S, U)) fwd/bwd floors
     """Build the dense kernel map for absolute coordinate ``offsets``.
 
     Matches the reference's CPU builder semantics (reference:
@@ -306,12 +306,14 @@ def build_kernel_map(
         return kmap, fwd_span_dev, bwd_span_dev
     fwd_span, bwd_span = jax.device_get((fwd_span_dev, bwd_span_dev))
     fwd_slab = build_slab_map_from_span(
-        in_idx, in_map.capacity, int(int(fwd_span) * span_margin),
-        min_slab=slab_floor[0],
+        in_idx, in_map.capacity, int(int(fwd_span[0]) * span_margin),
+        min_slab=None if slab_floor is None else slab_floor[0],
+        union_extra=int(int(fwd_span[1]) * span_margin),
     )
     bwd_slab = build_slab_map_from_span(
-        out_idx_t, out_map.capacity, int(int(bwd_span) * span_margin),
-        min_slab=slab_floor[1],
+        out_idx_t, out_map.capacity, int(int(bwd_span[0]) * span_margin),
+        min_slab=None if slab_floor is None else slab_floor[1],
+        union_extra=int(int(bwd_span[1]) * span_margin),
     )
     return KernelMap(
         in_idx, out_idx_t, in_map.size_arr, out_map.size_arr, fwd_slab, bwd_slab

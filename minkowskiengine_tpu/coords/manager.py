@@ -273,9 +273,10 @@ class CoordinateManager:
         self._frozen = False
         self._entry_key: Optional[CoordinateMapKey] = None
         # shape-stability ratchets (largest capacity / slab rung seen for a
-        # logical map across geometry replays — see GeometryReplayer)
+        # logical map across geometry replays — see GeometryReplayer).
+        # _slab_floors values: ((fwd_S, fwd_U), (bwd_S, bwd_U)) rungs.
         self._cap_floors: Dict[tuple, int] = {}
-        self._slab_floors: Dict[tuple, Tuple[int, int]] = {}
+        self._slab_floors: Dict[tuple, tuple] = {}
         self._grid_floors: Dict[tuple, tuple] = {}
         self._join_floors: Dict[tuple, int] = {}  # sorted-join slab rungs
         # (unique_map, inverse_map, n_in, n_unique) per inserted map key
@@ -831,7 +832,7 @@ class CoordinateManager:
                     js = {} if pg is not None else self._join_args(cache_key)
                     kmap = build_kernel_map(
                         in_map, out_map, offs,
-                        slab_floor=self._slab_floors.get(cache_key, (0, 0)),
+                        slab_floor=self._slab_floors.get(cache_key),
                         span_margin=self._span_margin,
                         probe=pg,
                         **js,
@@ -881,11 +882,13 @@ class CoordinateManager:
                     # cached orientation: fwd spans = built bwd, and v.v.
                     self._deferred["slabs"].append((cache_key, bs, fs))
                 else:
-                    floor = self._slab_floors.get(cache_key, (0, 0))
+                    floor = self._slab_floors.get(cache_key)
                     js = {} if pg is not None else self._join_args(cache_key)
                     kmap = build_kernel_map(
                         out_map, in_map, offs,
-                        slab_floor=(floor[1], floor[0]),
+                        slab_floor=(
+                            None if floor is None else (floor[1], floor[0])
+                        ),
                         span_margin=self._span_margin,
                         probe=pg, **js,
                     ).swap()
@@ -896,10 +899,18 @@ class CoordinateManager:
         if self._deferred is not None and self._deferred.get("traced"):
             pass  # slabs already at the floored rung; don't re-ratchet
         elif kmap.fwd_slab is not None and kmap.bwd_slab is not None:
-            prev = self._slab_floors.get(cache_key, (0, 0))
+            from ..ops.pallas.conv_kernel import merge_slab_floor
+
+            prev = self._slab_floors.get(cache_key)
             self._slab_floors[cache_key] = (
-                max(prev[0], kmap.fwd_slab.slab_size),
-                max(prev[1], kmap.bwd_slab.slab_size),
+                merge_slab_floor(
+                    None if prev is None else prev[0],
+                    (kmap.fwd_slab.slab_size, kmap.fwd_slab.union_size),
+                ),
+                merge_slab_floor(
+                    None if prev is None else prev[1],
+                    (kmap.bwd_slab.slab_size, kmap.bwd_slab.union_size),
+                ),
             )
         self._record(
             "kernel_map",
@@ -1230,8 +1241,8 @@ class CoordinateManager:
         checks live in traced_ok()."""
         from ..ops.pallas.conv_kernel import build_slab_map_floored
 
-        floor = self._slab_floors.get(cache_key, (0, 0))
-        if not floor[0] or not floor[1]:
+        floor = self._slab_floors.get(cache_key)
+        if floor is None or not floor[0][0] or not floor[1][0]:
             raise UntraceableReplay(
                 f"no slab floor for kernel map {cache_key}; warm the "
                 "replayer with a sync pass first"
@@ -1270,11 +1281,18 @@ class CoordinateManager:
             oks.append((n_dev <= cap) & jnp.logical_not(ovf))
         for cache_key, fs, bs in d["slabs"]:
             km = self._kernel_maps.get(cache_key)
-            for slab, span in ((km.fwd_slab, fs), (km.bwd_slab, bs)):
+            for slab, span2 in ((km.fwd_slab, fs), (km.bwd_slab, bs)):
                 # a capacity-sized slab always covers (start pinned to 0);
                 # otherwise require the from_span alignment margin
-                if slab is not None and slab.slab_size < slab.capacity_in:
-                    oks.append(span + 15 <= jnp.int32(slab.slab_size))
+                if slab is None:
+                    continue
+                if slab.slab_size < slab.capacity_in:
+                    oks.append(span2[0] + 15 <= jnp.int32(slab.slab_size))
+                if 0 < slab.union_size < slab.capacity_in:
+                    oks.append(
+                        span2[1] + slab.slab_size + 16
+                        <= jnp.int32(slab.union_size)
+                    )
         oks.extend(d["checks"])
         out = jnp.asarray(True)
         for o in oks:
@@ -1328,25 +1346,39 @@ class CoordinateManager:
             )
         for (key_t, _), b in zip(d["bboxes"], bbox_h):
             self._interp_cache[("bbox", key_t)] = np.asarray(b)
-        from ..ops.pallas.conv_kernel import build_slab_map_from_span
+        from ..ops.pallas.conv_kernel import (
+            build_slab_map_from_span,
+            merge_slab_floor,
+        )
 
         m = self._span_margin
         for (cache_key, _, _), (fs, bs) in zip(d["slabs"], spans_h):
             kmap = self._kernel_maps[cache_key]
-            floor = self._slab_floors.get(cache_key, (0, 0))
+            floor = self._slab_floors.get(cache_key)
             fwd = build_slab_map_from_span(
-                kmap.in_idx, kmap.capacity_in, int(int(fs) * m), min_slab=floor[0]
+                kmap.in_idx, kmap.capacity_in, int(int(fs[0]) * m),
+                min_slab=None if floor is None else floor[0],
+                union_extra=int(int(fs[1]) * m),
             )
             bwd = build_slab_map_from_span(
-                kmap.out_idx_t, kmap.capacity_out, int(int(bs) * m), min_slab=floor[1]
+                kmap.out_idx_t, kmap.capacity_out, int(int(bs[0]) * m),
+                min_slab=None if floor is None else floor[1],
+                union_extra=int(int(bs[1]) * m),
             )
             self._kernel_maps[cache_key] = KernelMap(
                 kmap.in_idx, kmap.out_idx_t, kmap.n_in, kmap.n_out, fwd, bwd
             )
-            self._slab_floors[cache_key] = (
-                max(floor[0], fwd.slab_size if fwd else 0),
-                max(floor[1], bwd.slab_size if bwd else 0),
-            )
+            if fwd is not None and bwd is not None:
+                self._slab_floors[cache_key] = (
+                    merge_slab_floor(
+                        None if floor is None else floor[0],
+                        (fwd.slab_size, fwd.union_size),
+                    ),
+                    merge_slab_floor(
+                        None if floor is None else floor[1],
+                        (bwd.slab_size, bwd.union_size),
+                    ),
+                )
         from ..ops.dense_conv import build_dense_plan
 
         for key_t in d["plans"]:

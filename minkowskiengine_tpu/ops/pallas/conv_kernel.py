@@ -53,32 +53,45 @@ class SlabMap:
 
     Attributes:
       starts: (K, nt) int32 — first input row of each (offset, tile) slab,
-        clamped to [0, C_in - S].
+        clamped to [0, C_in - S]; empty (offset, tile) pairs point at the
+        tile's union start (their local indices are all S, so the slab
+        contents are never read).
       local_tk: (nt, K, T) int32 — slab-relative input row per output row,
         or S (⇒ gathers a zero row); tile-major so each grid step loads one
         (K, T) block that stays resident across the inner offset loop.
-      slab_size: static int S (multiple of 8, ≥ max span).
+      u_starts: (nt,) int32 — per-tile UNION slab start: the union slab
+        ``feats[u : u + U]`` covers every offset's window
+        ``[starts[k,t], starts[k,t] + S)`` for the tile, so one DMA per
+        tile replaces K per-offset DMAs (the kernel was ~70% HBM-bound on
+        slab traffic; offsets' slabs overlap almost entirely).
+      slab_size: static int S (multiple of 16, ≥ max span).
+      union_size: static int U (multiple of 16, ≥ union span), or 0 when
+        the union mode is disabled (union spans over budget — e.g. surface
+        scans whose per-plane row runs are huge).
       tile: static int T.
       capacity_in: input-buffer capacity the starts were clamped against.
     """
 
     starts: jnp.ndarray
     local_tk: jnp.ndarray
+    u_starts: jnp.ndarray
     slab_size: int
+    union_size: int
     tile: int
     capacity_in: int
 
     def tree_flatten(self):
-        return (self.starts, self.local_tk), (
+        return (self.starts, self.local_tk, self.u_starts), (
             self.slab_size,
+            self.union_size,
             self.tile,
             self.capacity_in,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        starts, local_tk = children
-        return cls(starts, local_tk, *aux)
+        starts, local_tk, u_starts = children
+        return cls(starts, local_tk, u_starts, *aux)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,23 +108,34 @@ def _ring_depth(slab: int, cin: int, num_k: int) -> int:
     return max(2, min(8, num_k, _RING_VMEM_BUDGET // max(per, 1)))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _slab_metadata(in_idx, cap_in, tile, slab_size):
-    """Compute (starts, local_tk) for a given static slab size."""
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
+    """Compute (starts, local_tk, u_starts) for static slab/union sizes."""
     K, Co = in_idx.shape
     nt = Co // tile
     idx = in_idx.reshape(K, nt, tile)
     valid = idx >= 0
     big = jnp.where(valid, idx, jnp.int32(2**30))
-    start = jnp.min(big, axis=-1)  # (K, nt); 2**30 if tile empty
-    start = jnp.where(start == 2**30, 0, start)
+    start = jnp.min(big, axis=-1)  # (K, nt); 2**30 if (offset, tile) empty
+    # empty (offset, tile) pairs park at the tile's min valid start (their
+    # local indices are all S): keeps the per-tile union span tight instead
+    # of dragging it to row 0
+    tile_min = jnp.min(start, axis=0)  # (nt,)
+    tile_min = jnp.where(tile_min == 2**30, 0, tile_min)
+    start = jnp.where(start == 2**30, tile_min[None, :], start)
     start = (start // 16) * 16  # sublane-aligned DMA slices (16 covers bf16)
     start = jnp.clip(start, 0, max(cap_in - slab_size, 0))
+    u = jnp.min(start, axis=0)
+    u = jnp.clip(u, 0, max(cap_in - union_size, 0))
     local = jnp.where(valid, idx - start[:, :, None], slab_size)
     # anything that still falls outside [0, S) gathers zero
     local = jnp.where((local < 0) | (local > slab_size), slab_size, local)
     local = local.astype(jnp.int32)
-    return start.astype(jnp.int32), jnp.transpose(local, (1, 0, 2))
+    return (
+        start.astype(jnp.int32),
+        jnp.transpose(local, (1, 0, 2)),
+        u.astype(jnp.int32),
+    )
 
 
 def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
@@ -120,20 +144,56 @@ def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def measure_spans(in_idx: jnp.ndarray, tile: int) -> jnp.ndarray:
-    """Max per-(offset, tile) index span — device scalar (no sync here so
-    callers can fuse several measurements into one host round trip)."""
+    """(2,) int32 device vector [max per-(offset, tile) span, max per-tile
+    union extra] — no sync here so callers can fuse several measurements
+    into one host round trip.
+
+    ``union extra`` = spread of the per-offset slab starts within a tile;
+    the per-tile union slab needs ``extra + span (+16 alignment)`` rows.
+    """
     K, Co = in_idx.shape
     idx = in_idx.reshape(K, -1, tile)
     valid = idx >= 0
     big = jnp.where(valid, idx, jnp.int32(2**30))
     small = jnp.where(valid, idx, jnp.int32(-1))
-    return jnp.max(
+    start = jnp.min(big, axis=-1)  # (K, nt)
+    span = jnp.max(
         jnp.where(
             jnp.any(valid, -1),
-            jnp.max(small, -1) - jnp.min(big, -1) + 1,
+            jnp.max(small, -1) - start + 1,
             0,
         )
     )
+    any_valid = start < 2**30
+    tmax = jnp.max(jnp.where(any_valid, start, jnp.int32(-1)), axis=0)
+    tmin = jnp.min(start, axis=0)
+    extra = jnp.where(tmax >= 0, tmax - jnp.minimum(tmin, tmax), 0)
+    return jnp.stack([span, jnp.max(extra)])
+
+
+_MAX_UNION = 4096  # beyond this, per-tile union DMAs stop paying for VMEM
+
+
+def _union_rung(needed: int, capacity_in: int) -> int:
+    """Union-slab ladder: 512-multiples, whole-buffer when close to the
+    capacity, 0 (disabled) when over budget."""
+    u = _round_up(max(int(needed), 1), 512)
+    if u >= capacity_in:
+        return capacity_in  # whole-buffer DMA per tile: always valid
+    if u > _MAX_UNION:
+        return 0
+    return u
+
+
+def merge_slab_floor(prev, new):
+    """Ratchet-merge two (S, U) floors; U == 0 (union disabled) is sticky —
+    flip-flopping between union and per-offset kernels would recompile
+    every other batch."""
+    if prev is None:
+        return new
+    s = max(prev[0], new[0])
+    u = 0 if (prev[1] == 0 or new[1] == 0) else max(prev[1], new[1])
+    return (s, u)
 
 
 def build_slab_map_from_span(
@@ -141,13 +201,17 @@ def build_slab_map_from_span(
     capacity_in: int,
     max_span: int,
     tile: int = DEFAULT_TILE,
-    min_slab: int = 0,
+    min_slab=None,
+    union_extra: int = 0,
 ) -> Optional[SlabMap]:
-    """Slab decomposition given a host-known max span.
+    """Slab decomposition given host-known span measurements.
 
-    ``min_slab`` is a shape-stability floor (ratcheted by the geometry
-    replayer): reusing the largest rung seen so far keeps the kernel shape
-    — and therefore the compiled step — stable across geometry jitter.
+    ``min_slab`` is an optional (S, U) shape-stability floor (ratcheted by
+    the geometry replayer): reusing the largest rung seen so far keeps the
+    kernel shape — and therefore the compiled step — stable across geometry
+    jitter.  ``union_extra`` is the measured per-tile spread of the slab
+    starts (measure_spans[1]); the per-tile union slab needs
+    ``extra + S + 16`` rows.
     """
     K, Co = in_idx.shape
     tile = min(tile, Co)
@@ -166,50 +230,44 @@ def build_slab_map_from_span(
             break
     if slab is None:
         slab = _round_up(needed, tile)
-    if min_slab:
-        slab = max(slab, int(min_slab))
+    if min_slab is not None:
+        slab = max(slab, int(min_slab[0]))
     if slab > capacity_in:
         slab = capacity_in
-    starts, local_tk = _slab_metadata(in_idx, capacity_in, tile, slab)
-    return SlabMap(starts, local_tk, slab, tile, capacity_in)
+    union = _union_rung(int(union_extra) + slab + 16, capacity_in)
+    if min_slab is not None:
+        if min_slab[1] == 0 or union == 0:
+            union = 0
+        else:
+            union = min(max(union, int(min_slab[1])), capacity_in)
+    starts, local_tk, u_starts = _slab_metadata(
+        in_idx, capacity_in, tile, slab, union
+    )
+    return SlabMap(starts, local_tk, u_starts, slab, union, tile, capacity_in)
 
 
 def build_slab_map_floored(
     in_idx: jnp.ndarray,
     capacity_in: int,
-    slab: int,
+    floor,
     tile: int = DEFAULT_TILE,
 ) -> Optional[SlabMap]:
-    """Slab decomposition at a KNOWN (ratcheted-floor) slab size — fully
+    """Slab decomposition at a KNOWN (ratcheted) (S, U) floor — fully
     traceable: no host span fetch.  Used by the traced replay, which checks
-    ``span + 15 <= slab`` separately (mirroring build_slab_map_from_span's
-    ``needed = max_span + 15`` alignment margin) and falls back to the sync
-    path when the floor is violated."""
+    ``span + 15 <= S`` and ``extra + S + 16 <= U`` separately (mirroring
+    build_slab_map_from_span's margins) and falls back to the sync path
+    when a floor is violated."""
     K, Co = in_idx.shape
     tile = min(tile, Co)
+    slab, union = (floor, 0) if isinstance(floor, int) else floor
     if Co % tile != 0 or slab <= 0:
         return None
     slab = min(int(slab), capacity_in)
-    starts, local_tk = _slab_metadata(in_idx, capacity_in, tile, slab)
-    return SlabMap(starts, local_tk, slab, tile, capacity_in)
-
-
-def build_slab_map(
-    in_idx: jnp.ndarray, capacity_in: int, tile: int = DEFAULT_TILE
-) -> Optional[SlabMap]:
-    """Build the slab decomposition for a (K, C_out) dense gather map.
-
-    Runs in the cached coordinate phase (one host sync for the span).
-    Returns None when the map cannot be tiled.
-    """
-    K, Co = in_idx.shape
-    if Co % min(tile, Co) != 0:
-        return None
-    # Measure with the same row-dimension tiling _slab_metadata will use
-    # (min(tile, Co), NOT a capacity-derived tile — a mismatch undersizes
-    # the slab and valid indices would silently gather zero rows).
-    span = int(measure_spans(in_idx, min(tile, Co)))
-    return build_slab_map_from_span(in_idx, capacity_in, span, tile)
+    union = min(int(union), capacity_in)
+    starts, local_tk, u_starts = _slab_metadata(
+        in_idx, capacity_in, tile, slab, union
+    )
+    return SlabMap(starts, local_tk, u_starts, slab, union, tile, capacity_in)
 
 
 def _onehot_gather(local_row, slab, slab_size, dtype):
@@ -301,6 +359,74 @@ def _conv_fwd_kernel(
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
+def _conv_fwd_kernel_union(
+    starts_ref,  # (K+1, nt) SMEM — row K holds the per-tile union starts
+    local_ref,  # (1, K, T) VMEM — this tile's local indices
+    w_ref,  # (K, Cin, Cout) VMEM — all weights, resident
+    feats_hbm,  # (Ci, Cin) ANY/HBM
+    out_ref,  # (T, Cout) VMEM
+    slab_ref,  # (2, U, Cin) VMEM — double-buffered per-TILE union slabs
+    sem,  # (2,) DMA semaphores
+    *,
+    slab_size: int,
+    union_size: int,
+    num_k: int,
+    num_t: int,
+):
+    """Union-slab forward: ONE DMA per output tile (feats[u : u+U]) serves
+    all K offsets — their per-offset slabs overlap almost entirely, so the
+    per-(offset, tile) DMA scheme moves ~K× more HBM bytes than needed
+    (measured ~70% of kernel time at 27 offsets / 128 channels).  Each
+    offset gathers from a dynamic (S)-row window of the resident union
+    slab; the tile t+1 copy is issued before tile t's compute."""
+    t = pl.program_id(0)
+
+    def tile_copy(tt, sl):
+        u = pl.multiple_of(starts_ref[num_k, tt], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(u, union_size), :],
+            slab_ref.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        tile_copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t + 1 < num_t)
+    def _():
+        tile_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    tile_copy(t, slot).wait()
+
+    T = local_ref.shape[-1]
+    cout = out_ref.shape[-1]
+    u_t = starts_ref[num_k, t]
+
+    def one(k, acc):
+        li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
+        w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
+        rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
+        window = slab_ref[slot, pl.ds(rel, slab_size), :]
+        gathered = _onehot_gather(li, window, slab_size, w_ref.dtype)
+        return acc + jnp.dot(gathered, w_k, preferred_element_type=jnp.float32)
+
+    unroll = 3 if num_k % 3 == 0 else 1
+    acc0 = jnp.zeros((T, cout), jnp.float32)
+
+    def body(i, acc):
+        for u in range(unroll):
+            acc = one(i * unroll + u, acc)
+        return acc
+
+    acc = jax.lax.fori_loop(0, num_k // unroll, body, acc0)
+    for k in range(num_k - num_k % unroll, num_k):
+        acc = one(k, acc)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
 def _pad_lanes(x, axis):
     """Pad ``axis`` to a multiple of 128 (HBM rows are lane-padded anyway,
     and Mosaic requires lane-aligned DMA slices)."""
@@ -311,6 +437,22 @@ def _pad_lanes(x, axis):
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, target - n)
     return jnp.pad(x, pads)
+
+
+def _union_enabled(slab_map: SlabMap, cin_padded: int, itemsize: int) -> bool:
+    """Whether the per-tile union-DMA kernel fits its VMEM double buffer."""
+    return (
+        slab_map.union_size > 0
+        and 2 * slab_map.union_size * cin_padded * itemsize
+        <= _RING_VMEM_BUDGET
+    )
+
+
+def _starts_with_union(slab_map: SlabMap) -> jnp.ndarray:
+    """(K+1, nt) scalar-prefetch block: per-offset starts + union starts."""
+    return jnp.concatenate(
+        [slab_map.starts, slab_map.u_starts[None, :]], axis=0
+    )
 
 
 def sparse_conv_fwd_pallas(
@@ -327,7 +469,31 @@ def sparse_conv_fwd_pallas(
     Cout = weights.shape[-1]
     Co = nt * T
 
-    n_buf = _ring_depth(S, Cin, K)
+    use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
+    if use_union:
+        U = slab_map.union_size
+        scratch = [
+            pltpu.VMEM((2, U, Cin), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kernel = functools.partial(
+            _conv_fwd_kernel_union,
+            slab_size=S, union_size=U, num_k=K, num_t=nt,
+        )
+        prefetch = _starts_with_union(slab_map)
+        dma_bytes = nt * U * Cin * feats.dtype.itemsize
+    else:
+        n_buf = _ring_depth(S, Cin, K)
+        scratch = [
+            pltpu.VMEM((n_buf, S, Cin), feats.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ]
+        kernel = functools.partial(
+            _conv_fwd_kernel, slab_size=S, num_k=K, num_t=nt
+        )
+        prefetch = slab_map.starts
+        dma_bytes = K * nt * S * Cin * feats.dtype.itemsize
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -343,23 +509,19 @@ def sparse_conv_fwd_pallas(
         out_specs=pl.BlockSpec(
             (T, Cout), lambda t, s: (t, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n_buf, S, Cin), feats.dtype),
-            pltpu.SemaphoreType.DMA((n_buf,)),
-        ],
+        scratch_shapes=scratch,
     )
 
-    kernel = functools.partial(_conv_fwd_kernel, slab_size=S, num_k=K, num_t=nt)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Co, Cout), feats.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * K * Co * Cin * (Cout + S),
-            bytes_accessed=K * nt * S * Cin * 4 + Co * Cout * 4,
+            bytes_accessed=dma_bytes + Co * Cout * 4,
             transcendentals=0,
         ),
-    )(slab_map.starts, slab_map.local_tk, weights, feats)
+    )(prefetch, slab_map.local_tk, weights, feats)
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +585,66 @@ def _conv_dw_kernel(
     jax.lax.fori_loop(0, num_k, body, 0)
 
 
+def _conv_dw_kernel_union(
+    starts_ref,  # (K+1, nt) SMEM — row K = union starts
+    local_ref,  # (1, K, T) VMEM
+    g_ref,  # (T, Cout) VMEM — grad tile
+    feats_hbm,  # (Ci, Cin) ANY
+    dw_ref,  # (K, Cin, Cout) VMEM — revisited across every tile
+    slab_ref,  # (2, U, Cin)
+    sem,  # (2,)
+    *,
+    slab_size: int,
+    union_size: int,
+    num_t: int,
+    num_k: int,
+):
+    """Union-slab dW: one per-tile DMA (see _conv_fwd_kernel_union)."""
+    t = pl.program_id(0)
+
+    def tile_copy(tt, sl):
+        u = pl.multiple_of(starts_ref[num_k, tt], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(u, union_size), :],
+            slab_ref.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        tile_copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t + 1 < num_t)
+    def _():
+        tile_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    tile_copy(t, slot).wait()
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    u_t = starts_ref[num_k, t]
+
+    def body(k, _):
+        li = local_ref[0, pl.ds(k, 1), :]
+        rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
+        window = slab_ref[slot, pl.ds(rel, slab_size), :]
+        gathered = _onehot_gather(li, window, slab_size, g_ref.dtype)
+        contrib = jax.lax.dot_general(
+            gathered,
+            g_ref[...],
+            (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
+            preferred_element_type=jnp.float32,
+        )
+        dw_ref[pl.ds(k, 1), :, :] += contrib[None]
+        return 0
+
+    jax.lax.fori_loop(0, num_k, body, 0)
+
+
 def sparse_conv_dw_pallas(
     feats: jnp.ndarray,  # (Ci, Cin)
     g: jnp.ndarray,  # (Co, Cout) output cotangent
@@ -435,6 +657,31 @@ def sparse_conv_dw_pallas(
     S = slab_map.slab_size
     Ci, Cin = feats.shape
     Cout = g.shape[-1]
+
+    use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
+    if use_union:
+        U = slab_map.union_size
+        scratch = [
+            pltpu.VMEM((2, U, Cin), feats.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        kernel = functools.partial(
+            _conv_dw_kernel_union,
+            slab_size=S, union_size=U, num_t=nt, num_k=K,
+        )
+        prefetch = _starts_with_union(slab_map)
+        dma_bytes = nt * U * Cin * feats.dtype.itemsize
+    else:
+        n_buf = _ring_depth(S, Cin, K)
+        scratch = [
+            pltpu.VMEM((n_buf, S, Cin), feats.dtype),
+            pltpu.SemaphoreType.DMA((n_buf,)),
+        ]
+        kernel = functools.partial(
+            _conv_dw_kernel, slab_size=S, num_t=nt, num_k=K
+        )
+        prefetch = slab_map.starts
+        dma_bytes = K * nt * S * Cin * feats.dtype.itemsize
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -451,22 +698,18 @@ def sparse_conv_dw_pallas(
         out_specs=pl.BlockSpec(
             (K, Cin, Cout), lambda t, s: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((_ring_depth(S, Cin, K), S, Cin), feats.dtype),
-            pltpu.SemaphoreType.DMA((_ring_depth(S, Cin, K),)),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_conv_dw_kernel, slab_size=S, num_t=nt, num_k=K)
     dw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, Cin, Cout), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * K * nt * T * (S + Cout) * Cin,
-            bytes_accessed=K * nt * (S * Cin + T * Cout) * 4,
+            bytes_accessed=dma_bytes + nt * T * Cout * 4,
             transcendentals=0,
         ),
-    )(slab_map.starts, slab_map.local_tk, g, feats)
+    )(prefetch, slab_map.local_tk, g, feats)
     return dw[:, :true_cin, :]
 
 
@@ -478,10 +721,13 @@ def pallas_conv_supported(slab_map: Optional[SlabMap], weights_shape) -> bool:
     cin_p = _round_up(Cin, 128)
     cout_p = _round_up(Cout, 128)
     S, T = slab_map.slab_size, slab_map.tile
-    n_buf = _ring_depth(S, cin_p, K)
+    if _union_enabled(slab_map, cin_p, 4):
+        slab_vmem = 2 * slab_map.union_size * cin_p * 4
+    else:
+        slab_vmem = _ring_depth(S, cin_p, K) * S * cin_p * 4
     vmem = (
         K * cin_p * cout_p * 4  # resident weights (also the dW accumulator)
-        + n_buf * S * cin_p * 4  # slab ring
+        + slab_vmem  # slab ring / union double buffer
         + 2 * T * cout_p * 4  # out block + accumulator
         + 2 * K * T * 4  # local indices block (double-buffered)
     )
