@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 _compute_dtype = None
+_force_xla_conv = False
 
 
 def set_compute_dtype(dtype) -> None:
@@ -22,3 +23,16 @@ def set_compute_dtype(dtype) -> None:
 
 def compute_dtype():
     return _compute_dtype
+
+
+def set_force_xla_conv(value: bool) -> None:
+    """Force the XLA (gather-einsum) sparse-conv path instead of the fused
+    Pallas kernel.  Required for GSPMD-partitioned (tensor-parallel)
+    execution: XLA's SPMD partitioner can shard einsums across the mesh but
+    cannot split a hand-written Pallas kernel's channel dimension."""
+    global _force_xla_conv
+    _force_xla_conv = bool(value)
+
+
+def force_xla_conv() -> bool:
+    return _force_xla_conv

@@ -274,7 +274,8 @@ class CoordinateManager:
         self._entry_key: Optional[CoordinateMapKey] = None
         # shape-stability ratchets (largest capacity / slab rung seen for a
         # logical map across geometry replays — see GeometryReplayer).
-        # _slab_floors values: ((fwd_S, fwd_U), (bwd_S, bwd_U)) rungs.
+        # _slab_floors values: ((fwd_S, fwd_E), (bwd_S, bwd_E)) rungs
+        # (slab size, union-extra; U derives from S+E — conv_kernel.py).
         self._cap_floors: Dict[tuple, int] = {}
         self._slab_floors: Dict[tuple, tuple] = {}
         self._grid_floors: Dict[tuple, tuple] = {}
@@ -905,11 +906,11 @@ class CoordinateManager:
             self._slab_floors[cache_key] = (
                 merge_slab_floor(
                     None if prev is None else prev[0],
-                    (kmap.fwd_slab.slab_size, kmap.fwd_slab.union_size),
+                    (kmap.fwd_slab.slab_size, kmap.fwd_slab.extra_rung),
                 ),
                 merge_slab_floor(
                     None if prev is None else prev[1],
-                    (kmap.bwd_slab.slab_size, kmap.bwd_slab.union_size),
+                    (kmap.bwd_slab.slab_size, kmap.bwd_slab.extra_rung),
                 ),
             )
         self._record(
@@ -1372,11 +1373,11 @@ class CoordinateManager:
                 self._slab_floors[cache_key] = (
                     merge_slab_floor(
                         None if floor is None else floor[0],
-                        (fwd.slab_size, fwd.union_size),
+                        (fwd.slab_size, fwd.extra_rung),
                     ),
                     merge_slab_floor(
                         None if floor is None else floor[1],
-                        (bwd.slab_size, bwd.union_size),
+                        (bwd.slab_size, bwd.extra_rung),
                     ),
                 )
         from ..ops.dense_conv import build_dense_plan

@@ -192,10 +192,12 @@ _sparse_conv_pallas_jit = jax.jit(sparse_conv_pallas)
 
 
 def use_pallas_conv(kmap: KernelMap, feats, kernel) -> bool:
+    from ..config import force_xla_conv
     from .pallas.conv_kernel import pallas_conv_supported
 
     return (
-        kmap.fwd_slab is not None
+        not force_xla_conv()
+        and kmap.fwd_slab is not None
         and kmap.bwd_slab is not None
         and jax.default_backend() == "tpu"
         and feats.dtype in (jnp.float32, jnp.bfloat16)

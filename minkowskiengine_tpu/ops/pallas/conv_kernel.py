@@ -67,7 +67,10 @@ class SlabMap:
       slab_size: static int S (multiple of 16, ≥ max span).
       union_size: static int U (multiple of 16, ≥ union span), or 0 when
         the union mode is disabled (union spans over budget — e.g. surface
-        scans whose per-plane row runs are huge).
+        scans whose per-plane row runs are huge).  Derived deterministically
+        from (S, extra_rung) so ratcheted floors stay self-consistent.
+      extra_rung: static quantized union-extra rung (the floor the geometry
+        replayer ratchets; U = union rung of extra_rung + S + 16).
       tile: static int T.
       capacity_in: input-buffer capacity the starts were clamped against.
     """
@@ -77,10 +80,14 @@ class SlabMap:
     u_starts: jnp.ndarray
     slab_size: int
     union_size: int
+    extra_rung: int
     tile: int
     capacity_in: int
 
     def tree_flatten(self):
+        # extra_rung deliberately NOT in aux: it is builder bookkeeping (the
+        # floor the replayer ratchets) and can grow without changing any
+        # compiled shape — including it would retrace jits for nothing.
         return (self.starts, self.local_tk, self.u_starts), (
             self.slab_size,
             self.union_size,
@@ -91,7 +98,11 @@ class SlabMap:
     @classmethod
     def tree_unflatten(cls, aux, children):
         starts, local_tk, u_starts = children
-        return cls(starts, local_tk, u_starts, *aux)
+        slab_size, union_size, tile, capacity_in = aux
+        return cls(
+            starts, local_tk, u_starts, slab_size, union_size, 0, tile,
+            capacity_in,
+        )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -186,14 +197,16 @@ def _union_rung(needed: int, capacity_in: int) -> int:
 
 
 def merge_slab_floor(prev, new):
-    """Ratchet-merge two (S, U) floors; U == 0 (union disabled) is sticky —
-    flip-flopping between union and per-offset kernels would recompile
-    every other batch."""
+    """Ratchet-merge two (S, E) floors (slab rung, union-extra rung).
+
+    Both components are max-monotone; the union size U is DERIVED from
+    (S, E) at build time (``_union_rung(E + S + 16)``), which keeps U
+    consistent when S and E ratchet on different clouds, and makes
+    union-disable (U would exceed the budget) sticky automatically —
+    E only grows."""
     if prev is None:
         return new
-    s = max(prev[0], new[0])
-    u = 0 if (prev[1] == 0 or new[1] == 0) else max(prev[1], new[1])
-    return (s, u)
+    return (max(prev[0], new[0]), max(prev[1], new[1]))
 
 
 def build_slab_map_from_span(
@@ -206,12 +219,12 @@ def build_slab_map_from_span(
 ) -> Optional[SlabMap]:
     """Slab decomposition given host-known span measurements.
 
-    ``min_slab`` is an optional (S, U) shape-stability floor (ratcheted by
-    the geometry replayer): reusing the largest rung seen so far keeps the
-    kernel shape — and therefore the compiled step — stable across geometry
-    jitter.  ``union_extra`` is the measured per-tile spread of the slab
-    starts (measure_spans[1]); the per-tile union slab needs
-    ``extra + S + 16`` rows.
+    ``min_slab`` is an optional (S, E) shape-stability floor (slab rung,
+    union-extra rung; ratcheted by the geometry replayer): reusing the
+    largest rungs seen so far keeps the kernel shape — and therefore the
+    compiled step — stable across geometry jitter.  ``union_extra`` is the
+    measured per-tile spread of the slab starts (measure_spans[1]); the
+    per-tile union slab needs ``extra + S + 16`` rows.
     """
     K, Co = in_idx.shape
     tile = min(tile, Co)
@@ -234,16 +247,16 @@ def build_slab_map_from_span(
         slab = max(slab, int(min_slab[0]))
     if slab > capacity_in:
         slab = capacity_in
-    union = _union_rung(int(union_extra) + slab + 16, capacity_in)
+    extra_rung = _round_up(max(int(union_extra), 1), 256)
     if min_slab is not None:
-        if min_slab[1] == 0 or union == 0:
-            union = 0
-        else:
-            union = min(max(union, int(min_slab[1])), capacity_in)
+        extra_rung = max(extra_rung, int(min_slab[1]))
+    union = _union_rung(extra_rung + slab + 16, capacity_in)
     starts, local_tk, u_starts = _slab_metadata(
         in_idx, capacity_in, tile, slab, union
     )
-    return SlabMap(starts, local_tk, u_starts, slab, union, tile, capacity_in)
+    return SlabMap(
+        starts, local_tk, u_starts, slab, union, extra_rung, tile, capacity_in
+    )
 
 
 def build_slab_map_floored(
@@ -252,22 +265,27 @@ def build_slab_map_floored(
     floor,
     tile: int = DEFAULT_TILE,
 ) -> Optional[SlabMap]:
-    """Slab decomposition at a KNOWN (ratcheted) (S, U) floor — fully
+    """Slab decomposition at a KNOWN (ratcheted) (S, E) floor — fully
     traceable: no host span fetch.  Used by the traced replay, which checks
     ``span + 15 <= S`` and ``extra + S + 16 <= U`` separately (mirroring
     build_slab_map_from_span's margins) and falls back to the sync path
     when a floor is violated."""
     K, Co = in_idx.shape
     tile = min(tile, Co)
-    slab, union = (floor, 0) if isinstance(floor, int) else floor
+    slab, extra_rung = (floor, 0) if isinstance(floor, int) else floor
     if Co % tile != 0 or slab <= 0:
         return None
     slab = min(int(slab), capacity_in)
-    union = min(int(union), capacity_in)
+    extra_rung = int(extra_rung)
+    union = (
+        _union_rung(extra_rung + slab + 16, capacity_in) if extra_rung else 0
+    )
     starts, local_tk, u_starts = _slab_metadata(
         in_idx, capacity_in, tile, slab, union
     )
-    return SlabMap(starts, local_tk, u_starts, slab, union, tile, capacity_in)
+    return SlabMap(
+        starts, local_tk, u_starts, slab, union, extra_rung, tile, capacity_in
+    )
 
 
 def _onehot_gather(local_row, slab, slab_size, dtype):

@@ -1,4 +1,4 @@
-"""Multi-chip parallelism utilities (mesh data parallelism, collectives)."""
+"""Multi-chip parallelism utilities (mesh data/tensor parallelism)."""
 
 from .data_parallel import (
     all_reduce_metrics,
@@ -8,3 +8,4 @@ from .data_parallel import (
     replicate,
     shard_batch,
 )
+from .tensor_parallel import apply_tensor_parallelism, make_tp_mesh
