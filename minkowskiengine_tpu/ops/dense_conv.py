@@ -33,6 +33,8 @@ import numpy as np
 # channels); sparse k3 = 1.8 ms channel-independent ≤128ch, k5 = 7.8 ms
 # (≈0.5 µs per grid step); kernel-map build ≈ 0.013 µs per (offset, row)
 # pair (dominated by the 7 ns/elem HBM gather + the invert scatter).
+_DENSE_US_FIXED = 700.0  # scatter/conv/gather launch floor (65k-cell grid
+# convs measured ~1.7 ms where the linear model said 0.85 — profile r2)
 _DENSE_US_PER_CELL_BASE = 0.0105
 _DENSE_US_PER_CELL_CH = 0.00004  # per (cin + cout)
 _SPARSE_US_PER_STEP = 0.5
@@ -213,7 +215,7 @@ def dense_conv_beneficial(
     if cells * (cin + cout) * 4 > _MAX_DENSE_BYTES:
         return False
     kscale = (kernel_volume / 27.0) ** 0.3  # k5/k3 measured ratio ~1.57
-    dense_us = (
+    dense_us = _DENSE_US_FIXED + (
         cells
         * (_DENSE_US_PER_CELL_BASE + _DENSE_US_PER_CELL_CH * (cin + cout))
         * kscale
@@ -225,6 +227,11 @@ def dense_conv_beneficial(
             _KMAP_BUILD_US_PER_PAIR * kernel_volume * n_points_capacity
             / _KMAP_AMORTIZE
         )
+    # NOTE an experiment weighting both sides for training (dense bwd = two
+    # more dense convs vs sparse bwd ~0.6x fwd) flipped the stride-2 block
+    # convs to sparse and made the measured MinkUNet34 step ~10% SLOWER —
+    # in-situ, the dense convs overlap better than the serial slab kernels.
+    # Keep the forward-cost comparison, which matches measurement.
     return dense_us < sparse_us
 
 
