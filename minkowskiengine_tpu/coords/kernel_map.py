@@ -180,19 +180,129 @@ def grid_lookup(row_grid, mins, grid_shape, tensor_stride, q):
     return jnp.take(row_grid, flat, mode="clip")
 
 
-def _build_in_idx_grid(probe, out_coords, n_out, offsets):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _shifted_grid_stack(row_grid, grid_shape, cell_offsets):
+    """(cells + 1, K) int32: the row grid shifted by each offset's cell
+    delta, -1 filled at the shifted-out boundaries; trailing sentinel row
+    all -1.
+
+    shifted[c, k] = row_grid[c ⊕ cell_offsets[k]] with per-dimension
+    out-of-bounds → -1 (NOT flat wraparound: shifts run per axis on the
+    N-D view).  A None entry in cell_offsets marks an offset that is not a
+    tensor-stride multiple (it can never match a map row) → all -1.
+    """
+    cells = int(np.prod(grid_shape))
+    g = row_grid[:cells].reshape(grid_shape)
+    cols = []
+    for off in cell_offsets:
+        if off is None:
+            cols.append(jnp.full((cells,), -1, jnp.int32))
+            continue
+        s = g
+        for axis, d in enumerate(off):
+            if d == 0:
+                continue
+            n = grid_shape[axis]
+            fill_shape = list(s.shape)
+            fill_shape[axis] = min(abs(d), n)
+            fill = jnp.full(fill_shape, -1, jnp.int32)
+            if abs(d) >= n:
+                s = jnp.broadcast_to(
+                    jnp.full([1] * len(grid_shape), -1, jnp.int32), s.shape
+                )
+                continue
+            if d > 0:  # shifted[c] = g[c + d]
+                s = jnp.concatenate(
+                    [jax.lax.slice_in_dim(s, d, n, axis=axis), fill], axis=axis
+                )
+            else:
+                s = jnp.concatenate(
+                    [fill, jax.lax.slice_in_dim(s, 0, n + d, axis=axis)],
+                    axis=axis,
+                )
+        cols.append(s.reshape(-1))
+    stack = jnp.stack(cols, axis=-1)  # (cells, K)
+    return jnp.concatenate(
+        [stack, jnp.full((1, len(cell_offsets)), -1, jnp.int32)], axis=0
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _cells_of(coords, mins, grid_shape, tensor_stride):
+    """Flat in-grid cell per coordinate row, or ``cells`` (sentinel) when
+    outside the grid / off-stride."""
+    ext = grid_shape[1:]
+    cells = int(np.prod(grid_shape))
+    b = coords[:, 0] - mins[0]
+    rel = coords[:, 1:] - mins[1:]
+    tsv = jnp.asarray(tensor_stride, jnp.int32)
+    div = rel // tsv
+    ok = (
+        (b >= 0)
+        & (b < grid_shape[0])
+        & jnp.all(rel % tsv == 0, axis=-1)
+        & jnp.all((div >= 0) & (div < jnp.asarray(ext, jnp.int32)), axis=-1)
+    )
+    flat = b
+    for d in range(len(ext)):
+        flat = flat * ext[d] + div[:, d]
+    return jnp.where(ok, flat, cells)
+
+
+def _cell_offsets_for(offsets, tensor_stride, grid_shape):
+    """Static per-offset cell deltas (None = off-stride, never matches)."""
+    offs = np.asarray(offsets)
+    ts = np.asarray(tensor_stride, np.int64)
+    out = []
+    for k in range(offs.shape[0]):
+        o = offs[k]
+        if (o[1:] % ts != 0).any():
+            out.append(None)
+            continue
+        out.append(tuple([int(o[0])] + [int(v) for v in o[1:] // ts]))
+    return tuple(out)
+
+
+# above this many shifted-grid elements (cells × K), build column-by-column
+# gathers instead of materializing the stack (~256 MB ceiling)
+_MAX_SHIFT_STACK = 64 * 1024 * 1024
+
+
+def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     """Grid-probe variant of ``_build_in_idx`` — bit-identical results.
 
     ``probe`` = (row_grid, mins, grid_shape, tensor_stride) of the PROBED
     (input-side) map.  A probe coordinate outside the packed-key budget
     cannot be a map row (inserts reject overflow), and it is also outside
     the map's bbox grid, so both paths agree on -1.
+
+    Fast path: rather than K×C_out individual 4-byte gathers (XLA row
+    gathers cost ~7 ns/element — 29 ms for a 125-offset map at 32k rows),
+    build the K Δ-shifted copies of the row grid (pure vectorized
+    pad/slice shifts) and fetch all K offsets of each output row with ONE
+    (1, K)-slice gather — ~50× fewer gather rows.  Valid ONLY when the
+    base coordinates lie on the probed map's lattice, i.e. the probed
+    tensor stride divides ``base_stride`` per dimension (then
+    cell(base + Δ) = cell(base) ⊕ Δ/ts); otherwise fall back to
+    per-element lookups.
     """
     row_grid, mins, grid_shape, ts = probe
+    offsets = np.asarray(offsets)  # static host constants by construction
+    K = int(offsets.shape[0])
+    cells = int(np.prod(grid_shape))
     C_out = out_coords.shape[0]
-    q = out_coords[None, :, :] + offsets[:, None, :]  # (K, C_out, D+1)
-    rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
+    on_lattice = base_stride is not None and all(
+        int(b) % int(t) == 0 for b, t in zip(base_stride, ts)
+    )
+    if not on_lattice or cells * K > _MAX_SHIFT_STACK:
+        q = out_coords[None, :, :] + jnp.asarray(offsets)[:, None, :]
+        rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
+        return jnp.where(valid_out, rows, -1)
+    cell_offs = _cell_offsets_for(offsets, ts, grid_shape)
+    stack = _shifted_grid_stack(row_grid, grid_shape, cell_offs)
+    cell_idx = _cells_of(out_coords, mins, grid_shape, ts)  # (C_out,)
+    rows = jnp.take(stack, cell_idx, axis=0, mode="clip").T  # (K, C_out)
     return jnp.where(valid_out, rows, -1)
 
 
@@ -253,7 +363,8 @@ def build_kernel_map(
     join_stats=None,
     span_margin: float = 1.0,
     probe=None,
-) -> KernelMap:  # slab_floor: None or ((S, U), (S, U)) fwd/bwd floors
+    probe_out=None,
+) -> KernelMap:  # slab_floor: None or ((S, E), (S, E)) fwd/bwd floors
     """Build the dense kernel map for absolute coordinate ``offsets``.
 
     Matches the reference's CPU builder semantics (reference:
@@ -273,7 +384,8 @@ def build_kernel_map(
         )
     if probe is not None:
         in_idx = _build_in_idx_grid(
-            probe, out_map.coordinates, out_map.size_arr, jnp.asarray(offsets)
+            probe, out_map.coordinates, out_map.size_arr, offsets,
+            base_stride=out_map.tensor_stride,
         )
     else:
         in_idx = _build_in_idx(
@@ -286,7 +398,17 @@ def build_kernel_map(
             join_slab=join_slab,
             join_stats=join_stats,
         )
-    out_idx_t = _invert_matching(in_idx, in_map.capacity)
+    if probe_out is not None:
+        # the inverse matching IS a grid probe of the OUT map with negated
+        # offsets: out_idx_t[k, i] = row of (in_coord_i - Δk) — replaces
+        # the sort-based scatter (bit-identical: rows are unique, so
+        # in_idx[k, o] == i  ⟺  out-row of (in_i - Δk) is o)
+        out_idx_t = _build_in_idx_grid(
+            probe_out, in_map.coordinates, in_map.size_arr, -offsets,
+            base_stride=in_map.tensor_stride,
+        )
+    else:
+        out_idx_t = _invert_matching(in_idx, in_map.capacity)
     from ..ops.pallas.conv_kernel import (
         build_slab_map_from_span,
         measure_spans,

@@ -815,15 +815,18 @@ class CoordinateManager:
                     region_type, ks, dil, in_map.tensor_stride, region_offsets
                 )
                 pg = self._probe_grid_for(in_key)
+                pg_out = self._probe_grid_for(out_key)
                 if self._deferred is not None:
                     if pg is not None:
                         kmap, fs, bs = build_kernel_map(
-                            in_map, out_map, offs, defer_slabs=True, probe=pg
+                            in_map, out_map, offs, defer_slabs=True,
+                            probe=pg, probe_out=pg_out,
                         )
                     else:
                         js = self._join_args(cache_key)
                         kmap, fs, bs = build_kernel_map(
-                            in_map, out_map, offs, defer_slabs=True, **js
+                            in_map, out_map, offs, defer_slabs=True,
+                            probe_out=pg_out, **js,
                         )
                         self._join_done(cache_key, js)
                     if self._deferred.get("traced"):
@@ -836,6 +839,7 @@ class CoordinateManager:
                         slab_floor=self._slab_floors.get(cache_key),
                         span_margin=self._span_margin,
                         probe=pg,
+                        probe_out=pg_out,
                         **js,
                     )
                     if pg is None:
@@ -866,15 +870,18 @@ class CoordinateManager:
                     region_type, ks, dil, out_map.tensor_stride, region_offsets
                 )
                 pg = self._probe_grid_for(out_key)  # the probed (first) map
+                pg_out = self._probe_grid_for(in_key)
                 if self._deferred is not None:
                     if pg is not None:
                         built, fs, bs = build_kernel_map(
-                            out_map, in_map, offs, defer_slabs=True, probe=pg
+                            out_map, in_map, offs, defer_slabs=True,
+                            probe=pg, probe_out=pg_out,
                         )
                     else:
                         js = self._join_args(cache_key)
                         built, fs, bs = build_kernel_map(
-                            out_map, in_map, offs, defer_slabs=True, **js
+                            out_map, in_map, offs, defer_slabs=True,
+                            probe_out=pg_out, **js,
                         )
                         self._join_done(cache_key, js)
                     kmap = built.swap()
@@ -891,7 +898,7 @@ class CoordinateManager:
                             None if floor is None else (floor[1], floor[0])
                         ),
                         span_margin=self._span_margin,
-                        probe=pg, **js,
+                        probe=pg, probe_out=pg_out, **js,
                     ).swap()
                     if pg is None:
                         self._join_done(cache_key, js)
