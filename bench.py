@@ -81,6 +81,8 @@ def main():
     # the reference's CUDA-async streaming — or the headline reports the
     # tunnel, not the kernel.
     REPS = 50
+    CHAINS = 5  # async chain launches per sync: the ~30 ms tunnel
+    # completion latency must amortize over CHAINS×REPS convs, not REPS
     x = ME.SparseTensor(feats, coords)
     conv = ME.MinkowskiConvolution(3, 32, kernel_size=3, stride=1, dimension=3,
                                    rngs=nnx.Rngs(0))
@@ -103,10 +105,10 @@ def main():
         return acc
 
     def run_fwd():
-        conv_many(fpad, kernel).block_until_ready()
+        jax.block_until_ready([conv_many(fpad, kernel) for _ in range(CHAINS)])
 
     t_min, t_mean = timeit(run_fwd)
-    t_min, t_mean = t_min / REPS, t_mean / REPS
+    t_min, t_mean = t_min / (CHAINS * REPS), t_mean / (CHAINS * REPS)
     results["single_conv_fwd_k3_sparse_kernel_s"] = t_min
     log(f"single conv fwd (sparse slab kernel): min {t_min*1e3:.3f} ms")
 
@@ -129,10 +131,12 @@ def main():
             return acc
 
         def run_fwd_dense():
-            conv_many_dense(fpad, kernel).block_until_ready()
+            jax.block_until_ready(
+                [conv_many_dense(fpad, kernel) for _ in range(CHAINS)]
+            )
 
         td_min, _ = timeit(run_fwd_dense)
-        td_min = td_min / REPS
+        td_min = td_min / (CHAINS * REPS)
         results["single_conv_fwd_k3_dense_dispatch_s"] = td_min
         log(f"single conv fwd (dense dispatch): min {td_min*1e3:.3f} ms")
         t_min = min(t_min, td_min)
@@ -143,10 +147,10 @@ def main():
     grad_fn = jax.jit(jax.grad(conv_many, argnums=(0, 1)))
 
     def run_bwd():
-        jax.block_until_ready(grad_fn(fpad, kernel))
+        jax.block_until_ready([grad_fn(fpad, kernel) for _ in range(CHAINS)])
 
     tb_min, _ = timeit(run_bwd)
-    tb_min = tb_min / REPS
+    tb_min = tb_min / (CHAINS * REPS)
     results["single_conv_fwd_bwd_k3_warm_s"] = tb_min
     log(f"single conv fwd+bwd (warm maps): min {tb_min*1e3:.3f} ms")
 
@@ -189,11 +193,47 @@ def main():
             acc = acc + sparse_conv_kmap(f * scales[i], w, kmap_s)[0, 0]
         return acc
 
-    ts_min, _ = timeit(lambda: conv_many_surface(fpad_s, kernel).block_until_ready())
-    ts_min = ts_min / REPS
+    ts_min, _ = timeit(
+        lambda: jax.block_until_ready(
+            [conv_many_surface(fpad_s, kernel) for _ in range(CHAINS)]
+        )
+    )
+    ts_min = ts_min / (CHAINS * REPS)
     results["single_conv_fwd_k3_surface_s"] = ts_min
     results["surface_cloud_voxels"] = len(s_coords)
     log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
+
+    # surface scans have no row-locality under lexicographic order (slabs
+    # explode to ~3.3k rows), so the LAYER dispatch routes them to the
+    # dense grid — measure what the framework actually runs
+    plan_s = xs.coordinate_manager.dense_plan(xs.coordinate_map_key)
+    if dense_conv_beneficial(
+        plan_s, xs.capacity, 27, 3, 32,
+        cached_slab_size=(
+            kmap_s.fwd_slab.slab_size if kmap_s.fwd_slab else None
+        ),
+    ):
+        @jax.jit
+        def conv_many_surface_dense(f, w):
+            acc = 0.0
+            for i in range(REPS):
+                acc = acc + dense_conv(
+                    f * scales[i], w, plan_s, (3, 3, 3), (1, 1, 1)
+                )[0, 0]
+            return acc
+
+        tsd_min, _ = timeit(
+            lambda: jax.block_until_ready(
+                [conv_many_surface_dense(fpad_s, kernel) for _ in range(CHAINS)]
+            )
+        )
+        tsd_min = tsd_min / (CHAINS * REPS)
+        results["single_conv_fwd_k3_surface_dense_s"] = tsd_min
+        log(
+            f"single conv fwd (surface cloud, dense dispatch): "
+            f"min {tsd_min*1e3:.3f} ms"
+        )
+        results["single_conv_fwd_k3_surface_best_s"] = min(ts_min, tsd_min)
 
     # ---- e2e including coordinate-map + kernel-map build (cold) ---------
     def run_cold():

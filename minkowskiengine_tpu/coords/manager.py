@@ -766,6 +766,25 @@ class CoordinateManager:
         )
         return ck in self._kernel_maps
 
+    def peek_kernel_map(
+        self,
+        in_key: CoordinateMapKey,
+        out_key: CoordinateMapKey,
+        stride=1,
+        kernel_size=3,
+        dilation=1,
+        region_type: RegionType = RegionType.HYPER_CUBE,
+        region_offsets: Optional[np.ndarray] = None,
+        is_transpose: bool = False,
+        is_pool: bool = False,
+    ) -> Optional[KernelMap]:
+        """The cached kernel map if present, else None (never builds)."""
+        ck = self._kernel_map_cache_key(
+            in_key, out_key, stride, kernel_size, dilation,
+            region_type, region_offsets, is_transpose, is_pool,
+        )
+        return self._kernel_maps.get(ck)
+
     def kernel_map(
         self,
         in_key: CoordinateMapKey,

@@ -196,7 +196,7 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
         region = kg.get_kernel(
             input.coordinate_map_key.get_tensor_stride(), False
         )
-        cached = input.coordinate_manager.has_kernel_map(
+        cached_km = input.coordinate_manager.peek_kernel_map(
             input.coordinate_map_key,
             input.coordinate_map_key,  # stride 1: out map == in map
             stride=kg.kernel_stride,
@@ -215,7 +215,12 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             kg.kernel_volume,
             self.in_channels,
             self.out_channels,
-            map_cached=cached,
+            map_cached=cached_km is not None,
+            cached_slab_size=(
+                cached_km.fwd_slab.slab_size
+                if cached_km is not None and cached_km.fwd_slab is not None
+                else None
+            ),
         )
 
     def _kernel_map(self, input: SparseTensor, out_key: CoordinateMapKey):

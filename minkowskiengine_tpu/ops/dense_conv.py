@@ -200,6 +200,7 @@ def dense_conv_beneficial(
     cout: int,
     tile: int = 256,
     map_cached: bool = True,
+    cached_slab_size: Optional[int] = None,
 ) -> bool:
     """Cost model: dense scatter+conv+gather vs the sparse slab kernel.
 
@@ -208,6 +209,13 @@ def dense_conv_beneficial(
     125-offset map at 32k rows costs ~55 ms to build, an order of magnitude
     more than either conv.  This is what routes MinkUNet's k=5 stem to the
     dense grid in the fresh-geometry training regime.
+
+    ``cached_slab_size``: the built map's slab rung S, when known.  The
+    slab kernel's per-step cost is dominated by the one-hot gather, which
+    scales with S: ``step_us ≈ 0.2 + 0.0005·S`` fits both a uniform cloud
+    (S=384 → 1.07 ms measured) and a surface scan (S=3328 → 12.9 ms) —
+    surface geometries have no row-locality under lexicographic order, so
+    their slabs explode and the dense grid wins at any channel width.
     """
     if plan is None:
         return False
@@ -221,7 +229,10 @@ def dense_conv_beneficial(
         * kscale
     )
     steps = max(n_points_capacity // tile, 1) * kernel_volume
-    sparse_us = steps * _SPARSE_US_PER_STEP
+    if cached_slab_size:
+        sparse_us = steps * (0.2 + 0.0005 * cached_slab_size)
+    else:
+        sparse_us = steps * _SPARSE_US_PER_STEP
     if not map_cached:
         sparse_us += (
             _KMAP_BUILD_US_PER_PAIR * kernel_volume * n_points_capacity
