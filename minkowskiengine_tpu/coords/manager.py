@@ -701,18 +701,12 @@ class CoordinateManager:
         row (-1 padding).  Reference: union_map
         (src/coordinate_map_cpu.hpp:842-873, manager.cpp:1271-1317).
         """
-        out_map = self._get_map(out_key)
         result = []
         for k in in_keys:
             im = self._get_map(k)
-            rows = find_coordinates(
-                out_map.key_hi,
-                out_map.key_lo,
-                out_map.size_arr,
-                im.coordinates,
-                im.size_arr,
+            result.append(
+                self._find_rows_in(out_key, im.coordinates, im.size_arr)
             )
-            result.append(rows)
         return result
 
     # ------------------------------------------------------------------
@@ -1023,13 +1017,7 @@ class CoordinateManager:
             in_map = self._get_map(key)
             origin = self._get_map(origin_key)
             ocoords = _origin_coords(in_map.coordinates, in_map.valid_mask())
-            rows = find_coordinates(
-                origin.key_hi,
-                origin.key_lo,
-                origin.size_arr,
-                ocoords,
-                in_map.size_arr,
-            )
+            rows = self._find_rows_in(origin_key, ocoords, in_map.size_arr)
             self._stride_maps[ck] = rows
             self._record("origin_map", key.get_key())
         return origin_key, self._stride_maps[ck]
@@ -1090,12 +1078,8 @@ class CoordinateManager:
             jnp.asarray(np.asarray(smap.tensor_stride, np.int32)),
             valid,
         )
-        rows = find_coordinates(
-            smap.key_hi,
-            smap.key_lo,
-            jnp.int32(smap.size),
-            qcoords,
-            jnp.int32(fmap.size),
+        rows = self._find_rows_in(
+            sparse_key, qcoords, jnp.int32(fmap.size)
         )
         self._field_to_sparse[ck] = (None, rows)
         return rows
@@ -1128,15 +1112,24 @@ class CoordinateManager:
                 for bits in itertools.product((0, 1), repeat=self.D)
             ]
         )  # (2^D, D)
-        rows, weights = _interpolation_map(
-            cmap.key_hi,
-            cmap.key_lo,
-            jnp.int32(cmap.size),
-            samples,
-            jnp.int32(n),
-            jnp.asarray(np.asarray(cmap.tensor_stride, np.int32)),
-            jnp.asarray(corners),
-        )
+        pg = self._probe_grid_for(key)
+        if pg is not None:
+            rows, weights = _interpolation_map_grid(
+                pg[0], pg[1], pg[2], pg[3],
+                samples,
+                jnp.int32(n),
+                jnp.asarray(corners),
+            )
+        else:
+            rows, weights = _interpolation_map(
+                cmap.key_hi,
+                cmap.key_lo,
+                jnp.int32(cmap.size),
+                samples,
+                jnp.int32(n),
+                jnp.asarray(np.asarray(cmap.tensor_stride, np.int32)),
+                jnp.asarray(corners),
+            )
         return rows[:n], weights[:n]
 
     def dense_plan(self, key: CoordinateMapKey):
@@ -1195,6 +1188,24 @@ class CoordinateManager:
                 self._grid_floors[key.get_key()] = plan.grid_shape
             self._record("dense_plan", key.get_key())
         return self._interp_cache[ck]
+
+    def _find_rows_in(self, key: CoordinateMapKey, coords, n_valid):
+        """Rows of integer query ``coords`` in a map: grid gather when the
+        map has a row grid, else binary search over sorted keys."""
+        pg = self._probe_grid_for(key)
+        if pg is not None:
+            from .kernel_map import grid_lookup
+
+            row_grid, mins, grid_shape, ts = pg
+            rows = grid_lookup(row_grid, mins, grid_shape, ts, coords)
+            valid = jnp.arange(coords.shape[0], dtype=jnp.int32) < jnp.asarray(
+                n_valid, jnp.int32
+            )
+            return jnp.where(valid, rows, -1)
+        m = self._get_map(key)
+        return find_coordinates(
+            m.key_hi, m.key_lo, m.size_arr, coords, n_valid
+        )
 
     def _probe_grid_for(self, key: CoordinateMapKey):
         """Grid-probe tuple (row_grid, mins, grid_shape, ts) for a map.
@@ -1751,14 +1762,13 @@ def _scatter_slots(in_to_out, rank, kmax, cap_in, cap_out):
 
 
 @jax.jit
-def _interpolation_map(map_hi, map_lo, n_map, samples, n_samples, tensor_stride, corners):
-    """Neighbor rows + multilinear weights for interpolation/splat."""
+def _interp_corner_coords(samples, tensor_stride, corners):
+    """(2^D, N, D+1) int32 corner voxel coords + (2^D, N) weights."""
     ts = tensor_stride.astype(jnp.float32)  # (D,)
     batch = samples[:, :1]
     p = samples[:, 1:] / ts  # continuous voxel-space position
     base = jnp.floor(p)
     frac = p - base  # in [0, 1)
-    # corner c (2^D, D): voxel = (base + c) * ts; weight = prod(c? frac : 1-frac)
     corner_pos = base[None, :, :] + corners[:, None, :].astype(jnp.float32)
     coords = jnp.concatenate(
         [
@@ -1769,12 +1779,36 @@ def _interpolation_map(map_hi, map_lo, n_map, samples, n_samples, tensor_stride,
         ],
         axis=-1,
     )  # (2^D, N, D+1)
-    q_hi, q_lo = K.pack(coords)
-    rows = find_rows(map_hi, map_lo, n_map, q_hi, q_lo)  # (2^D, N)
     w = jnp.prod(
         jnp.where(corners[:, None, :] == 1, frac[None, :, :], 1.0 - frac[None, :, :]),
         axis=-1,
     )  # (2^D, N)
+    return coords, w
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _interpolation_map_grid(
+    row_grid, mins, grid_shape, ts_tuple, samples, n_samples, corners
+):
+    """Grid-probe variant of ``_interpolation_map`` (one gather per corner
+    instead of a binary search — interpolation/splat are per-batch ops in
+    TensorField training, so this is on the fresh-geometry path)."""
+    from .kernel_map import grid_lookup
+
+    ts = jnp.asarray(ts_tuple, jnp.int32)
+    coords, w = _interp_corner_coords(samples, ts, corners)
+    rows = grid_lookup(row_grid, mins, grid_shape, ts_tuple, coords)
+    valid = (jnp.arange(samples.shape[0], dtype=jnp.int32) < n_samples)[None, :]
+    rows = jnp.where(valid, rows, -1)
+    w = jnp.where(rows >= 0, w, 0.0)
+    return rows.T, w.T  # (N, 2^D)
+
+
+def _interpolation_map(map_hi, map_lo, n_map, samples, n_samples, tensor_stride, corners):
+    """Neighbor rows + multilinear weights for interpolation/splat."""
+    coords, w = _interp_corner_coords(samples, tensor_stride, corners)
+    q_hi, q_lo = K.pack(coords)
+    rows = find_rows(map_hi, map_lo, n_map, q_hi, q_lo)  # (2^D, N)
     valid = (jnp.arange(samples.shape[0], dtype=jnp.int32) < n_samples)[None, :]
     rows = jnp.where(valid, rows, -1)
     w = jnp.where(rows >= 0, w, 0.0)
