@@ -38,8 +38,9 @@ _DENSE_US_FIXED = 700.0  # scatter/conv/gather launch floor (65k-cell grid
 _DENSE_US_PER_CELL_BASE = 0.0105
 _DENSE_US_PER_CELL_CH = 0.00004  # per (cin + cout)
 _SPARSE_US_PER_STEP = 0.5
-_KMAP_BUILD_US_PER_PAIR = 0.013
-_KMAP_AMORTIZE = 6.0  # ~block convs sharing one cached kernel map
+# traced shifted-grid map build: k=5 at 32k rows measured ~0.6 ms → ~0.15
+# ns/pair; 0.2 leaves margin for slab metadata at larger K
+_KMAP_BUILD_US_PER_PAIR = 0.0002
 _MAX_DENSE_BYTES = 1 << 30
 
 
@@ -233,17 +234,23 @@ def dense_conv_beneficial(
         sparse_us = steps * (0.2 + 0.0005 * cached_slab_size)
     else:
         sparse_us = steps * _SPARSE_US_PER_STEP
+    # Training weights (profile-anchored, r2): sparse bwd ≈ 0.6× fwd.
+    # Dense dx ≈ 0.2× fwd, but the dense WEIGHT grad degrades sharply with
+    # kernel volume at sparse-channel widths — measured dW/fwd ≈ 0.5 at
+    # k=3 and ≈ 3.2 at k=5 (XLA's filter-grad conv over the 459k-cell grid
+    # cost 23.8 ms for the 5³×3→32 stem).  This is what routes the stem to
+    # the SPARSE path now that the shifted-grid map build is ~0.6 ms.
+    dw_ratio = 0.5 * (kernel_volume / 27.0) ** 1.2
+    # 0.8: measured in-situ bias — XLA dense convs overlap with neighboring
+    # ops while the serial slab kernels don't, so prefer dense near ties
+    # (flipping the stride-2 block convs to sparse cost ~10% step time)
+    dense_train = 0.8 * dense_us * (1.2 + dw_ratio)
+    sparse_train = 1.6 * sparse_us
     if not map_cached:
-        sparse_us += (
+        sparse_train += (
             _KMAP_BUILD_US_PER_PAIR * kernel_volume * n_points_capacity
-            / _KMAP_AMORTIZE
         )
-    # NOTE an experiment weighting both sides for training (dense bwd = two
-    # more dense convs vs sparse bwd ~0.6x fwd) flipped the stride-2 block
-    # convs to sparse and made the measured MinkUNet34 step ~10% SLOWER —
-    # in-situ, the dense convs overlap better than the serial slab kernels.
-    # Keep the forward-cost comparison, which matches measurement.
-    return dense_us < sparse_us
+    return dense_train < sparse_train
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))

@@ -95,10 +95,20 @@ class TestDenseConv:
         assert np.abs(np.asarray(g)[: x.size]).max() > 0
 
     def test_cost_model(self):
-        # large kernel on a compact grid → dense; small kernel → sparse
+        # since the shifted-grid builder made kernel maps ~0.6 ms to build,
+        # the sparse path wins even the big-kernel stem (dense pays a 3.2x
+        # weight-grad penalty at k=5 with sparse channels)
         plan = DensePlan(jnp.zeros((32768,), jnp.int32), (1, 64, 64, 64))
-        assert dense_conv_beneficial(plan, 32768, 125, 3, 32)
+        assert not dense_conv_beneficial(plan, 32768, 125, 3, 32, map_cached=False)
         assert not dense_conv_beneficial(plan, 32768, 27, 128, 128)
+        # compact deeper-level grids DO win for k=3 mid channels (measured
+        # in-situ: dense overlaps with neighbors, slab kernels serialize)
+        small = DensePlan(jnp.zeros((32768,), jnp.int32), (1, 32, 64, 32))
+        assert dense_conv_beneficial(small, 32768, 27, 32, 96, map_cached=False)
+        # surface scans: exploded cached slabs route to dense at any width
+        assert dense_conv_beneficial(
+            plan, 65536, 27, 3, 32, cached_slab_size=3328
+        )
         # giant grid → memory cap refuses
         huge = DensePlan(jnp.zeros((8,), jnp.int32), (1, 4096, 4096, 64))
         assert not dense_conv_beneficial(huge, 32768, 125, 3, 32)
