@@ -269,14 +269,10 @@ def main():
         cap = x.capacity
         mgr = x.coordinate_manager
         key = x.coordinate_map_key
-        # snapshot the fresh-geometry recipe BEFORE the fixed-geometry
-        # warm-up below: the stem's k=5 kernel map must stay out of the
-        # replayed coordinate phase (on fresh clouds the stem dispatches to
-        # the dense grid precisely to avoid that ~55 ms map build)
+        # snapshot the fresh-geometry recipe now (everything the warm
+        # forward recorded — the k=5 stem runs sparse in every regime since
+        # the shifted-grid builder made its map ~0.6 ms to construct)
         replayer = ME.GeometryReplayer(mgr)
-        # fixed-geometry regime: pre-build the stem's kernel map once so the
-        # cost model picks the (faster-when-cached) sparse path for it
-        mgr.kernel_map(key, key, kernel_size=5, stride=1)
         labels = jnp.asarray(
             np.random.RandomState(0).randint(0, 20, x.capacity)
         )
@@ -364,8 +360,6 @@ def main():
         for c, _ in fresh_clouds:  # settle capacity/slab ratchets
             replayer(c)
         crep = ME.CompiledReplayer(mgr)
-        # the recipe must be the CLEAN pre-warm-up snapshot (the manually
-        # built stem map must not enter the replayed coordinate phase)
         crep.oplog = list(replayer.oplog)
         crep.cap_floors = dict(replayer.cap_floors)
         crep.slab_floors = dict(replayer.slab_floors)
