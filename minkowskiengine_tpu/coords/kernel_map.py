@@ -263,8 +263,9 @@ def _cell_offsets_for(offsets, tensor_stride, grid_shape):
     return tuple(out)
 
 
-# above this many shifted-grid elements (cells × K), build column-by-column
-# gathers instead of materializing the stack (~256 MB ceiling)
+# per-chunk ceiling on shifted-grid elements (cells × chunk offsets,
+# ~256 MB): large grids process their offsets in chunks; grids too big for
+# even a single-offset chunk fall back to per-element gathers
 _MAX_SHIFT_STACK = 64 * 1024 * 1024
 
 
@@ -295,14 +296,20 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     on_lattice = base_stride is not None and all(
         int(b) % int(t) == 0 for b, t in zip(base_stride, ts)
     )
-    if not on_lattice or cells * K > _MAX_SHIFT_STACK:
+    chunk = min(K, max(_MAX_SHIFT_STACK // max(cells, 1), 0))
+    if not on_lattice or chunk == 0:
         q = out_coords[None, :, :] + jnp.asarray(offsets)[:, None, :]
         rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
         return jnp.where(valid_out, rows, -1)
     cell_offs = _cell_offsets_for(offsets, ts, grid_shape)
-    stack = _shifted_grid_stack(row_grid, grid_shape, cell_offs)
     cell_idx = _cells_of(out_coords, mins, grid_shape, ts)  # (C_out,)
-    rows = jnp.take(stack, cell_idx, axis=0, mode="clip").T  # (K, C_out)
+    parts = []
+    for i in range(0, K, chunk):  # chunked: bounds transient stack memory
+        stack = _shifted_grid_stack(
+            row_grid, grid_shape, cell_offs[i : i + chunk]
+        )
+        parts.append(jnp.take(stack, cell_idx, axis=0, mode="clip"))
+    rows = jnp.concatenate(parts, axis=-1).T  # (K, C_out)
     return jnp.where(valid_out, rows, -1)
 
 

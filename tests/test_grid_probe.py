@@ -143,6 +143,42 @@ class TestGridProbeEquality:
         )
         np.testing.assert_array_equal(got, ref)
 
+    def test_chunked_stack_matches_unchunked(self):
+        """Big-grid chunking (offsets processed in slices of the shifted
+        stack) must be invisible in the results."""
+        import minkowskiengine_tpu.coords.kernel_map as KM
+
+        coords = rand_cloud(21)
+        mgr = ME.CoordinateManager(D=3)
+        key, _ = mgr.insert_and_map(coords)
+        in_map = mgr.get_coordinate_map(key)
+        offs = region_offsets_for(
+            RegionType.HYPER_CUBE, (3,) * 3, (1,) * 3, (1, 1, 1), None
+        )
+        offs = np.concatenate(
+            [np.zeros((offs.shape[0], 1), np.int32), offs], axis=1
+        )
+        pg = probe_of(mgr, key)
+        ref = np.asarray(
+            _build_in_idx_grid(
+                pg, in_map.coordinates, in_map.size_arr, offs,
+                base_stride=in_map.tensor_stride,
+            )
+        )
+        cells = int(np.prod(pg[2]))
+        old = KM._MAX_SHIFT_STACK
+        KM._MAX_SHIFT_STACK = cells * 4  # force 4-offset chunks
+        try:
+            got = np.asarray(
+                _build_in_idx_grid(
+                    pg, in_map.coordinates, in_map.size_arr, offs,
+                    base_stride=in_map.tensor_stride,
+                )
+            )
+        finally:
+            KM._MAX_SHIFT_STACK = old
+        np.testing.assert_array_equal(got, ref)
+
     def test_full_kernel_map_through_manager(self):
         """End-to-end: manager-built maps (grid paths engaged) equal maps
         built with grids disabled."""
