@@ -180,29 +180,54 @@ def grid_lookup(row_grid, mins, grid_shape, tensor_stride, q):
     return jnp.take(row_grid, flat, mode="clip")
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _shifted_grid_stack(row_grid, grid_shape, cell_offsets):
-    """(cells + 1, K) int32: the row grid shifted by each offset's cell
+def _pads_for_offsets(cell_offsets, ndim):
+    """Per-axis |Δ|max over the offsets' cell deltas.
+
+    Padding the probe grid by this margin makes every base cell that could
+    possibly match (∃Δ: base+Δ inside the bbox) representable — without it,
+    bases below/above the probed map's bbox (strided conv outputs when a
+    spatial minimum isn't stride-aligned, coarse transpose bases below the
+    fine bbox) land on the sentinel cell and ALL their offsets silently go
+    -1 even though base+Δ hits real rows.
+    """
+    pads = [0] * ndim
+    for off in cell_offsets:
+        if off is None:
+            continue
+        for ax, d in enumerate(off):
+            pads[ax] = max(pads[ax], abs(int(d)))
+    return tuple(pads)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
+    """(cells_ext + 1, K) int32: the row grid — virtually extended by
+    ``pads`` cells of -1 per axis side — shifted by each offset's cell
     delta, -1 filled at the shifted-out boundaries; trailing sentinel row
     all -1.
 
-    shifted[c, k] = row_grid[c ⊕ cell_offsets[k]] with per-dimension
+    shifted[c, k] = grid_ext[c ⊕ cell_offsets[k]] with per-dimension
     out-of-bounds → -1 (NOT flat wraparound: shifts run per axis on the
     N-D view).  A None entry in cell_offsets marks an offset that is not a
     tensor-stride multiple (it can never match a map row) → all -1.
+    Cell indices are relative to the EXTENDED grid (mins - pads·ts).
     """
     cells = int(np.prod(grid_shape))
     g = row_grid[:cells].reshape(grid_shape)
+    if any(pads):
+        g = jnp.pad(g, [(p, p) for p in pads], constant_values=-1)
+    ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
+    cells_ext = int(np.prod(ext_shape))
     cols = []
     for off in cell_offsets:
         if off is None:
-            cols.append(jnp.full((cells,), -1, jnp.int32))
+            cols.append(jnp.full((cells_ext,), -1, jnp.int32))
             continue
         s = g
         for axis, d in enumerate(off):
             if d == 0:
                 continue
-            n = grid_shape[axis]
+            n = ext_shape[axis]
             fill_shape = list(s.shape)
             fill_shape[axis] = min(abs(d), n)
             fill = jnp.full(fill_shape, -1, jnp.int32)
@@ -296,17 +321,27 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     on_lattice = base_stride is not None and all(
         int(b) % int(t) == 0 for b, t in zip(base_stride, ts)
     )
-    chunk = min(K, max(_MAX_SHIFT_STACK // max(cells, 1), 0))
+    cell_offs = _cell_offsets_for(offsets, ts, grid_shape)
+    # Extend the grid by the offsets' own |Δ| so boundary bases (below /
+    # above the probed bbox — misaligned strided minima, coarse transpose
+    # bases) keep a representable cell; without this their rows silently
+    # go all -1 while real matches exist.
+    pads = _pads_for_offsets(cell_offs, len(grid_shape))
+    ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
+    cells_ext = int(np.prod(ext_shape))
+    chunk = min(K, max(_MAX_SHIFT_STACK // max(cells_ext, 1), 0))
     if not on_lattice or chunk == 0:
         q = out_coords[None, :, :] + jnp.asarray(offsets)[:, None, :]
         rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
         return jnp.where(valid_out, rows, -1)
-    cell_offs = _cell_offsets_for(offsets, ts, grid_shape)
-    cell_idx = _cells_of(out_coords, mins, grid_shape, ts)  # (C_out,)
+    pad_units = jnp.asarray(
+        [pads[0]] + [p * int(t) for p, t in zip(pads[1:], ts)], jnp.int32
+    )
+    cell_idx = _cells_of(out_coords, mins - pad_units, ext_shape, ts)
     parts = []
     for i in range(0, K, chunk):  # chunked: bounds transient stack memory
         stack = _shifted_grid_stack(
-            row_grid, grid_shape, cell_offs[i : i + chunk]
+            row_grid, grid_shape, pads, cell_offs[i : i + chunk]
         )
         parts.append(jnp.take(stack, cell_idx, axis=0, mode="clip"))
     rows = jnp.concatenate(parts, axis=-1).T  # (K, C_out)

@@ -1350,7 +1350,6 @@ class CoordinateManager:
             [t[1] for t in d["grid_checks"]],
         ))
         sizes_h, spans_h, bbox_h, grid_ok_h = payload
-        bbox_by_key = {kt: np.asarray(b) for (kt, _), b in zip(d["bboxes"], bbox_h)}
         bad_grids = [
             kt for (kt, _), ok in zip(d["grid_checks"], grid_ok_h) if not ok
         ]

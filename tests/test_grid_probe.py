@@ -54,9 +54,24 @@ CASES = [
 
 
 class TestGridProbeEquality:
+    @pytest.mark.parametrize("misaligned", [False, True])
     @pytest.mark.parametrize("ks,stride,dil,region", CASES)
-    def test_in_idx_and_invert_match_sorted_paths(self, ks, stride, dil, region):
-        coords = rand_cloud(ks * 10 + stride)
+    def test_in_idx_and_invert_match_sorted_paths(
+        self, ks, stride, dil, region, misaligned
+    ):
+        if misaligned:
+            # odd minima not multiples of any tested stride: strided output
+            # coords floor BELOW the input bbox, exercising the padded-grid
+            # boundary of the shifted-stack fast path (advisor r2 high)
+            coords = rand_cloud(ks * 10 + stride, lo=-39, hi=41)
+            coords = np.unique(
+                np.concatenate(
+                    [coords, np.array([[0, 1, 1, 1]], np.int32)], axis=0
+                ),
+                axis=0,
+            )
+        else:
+            coords = rand_cloud(ks * 10 + stride)
         mgr = ME.CoordinateManager(D=3)
         in_key, _ = mgr.insert_and_map(coords)
         out_key = mgr.stride(in_key, stride)
