@@ -49,10 +49,11 @@ class KernelMap:
 
     ``fwd_slab`` / ``bwd_slab`` are the tile-slab decompositions consumed by
     the fused Pallas conv kernel (ops/pallas/conv_kernel.py); they exist for
-    maps built by ``build_kernel_map`` (whose per-offset indices are
-    strictly monotone — a consequence of canonical key ordering plus
-    constant-offset probes) and are None for stride-map-derived pooling
-    maps (striding does not preserve lexicographic order).
+    maps built by ``build_kernel_map`` (whose per-offset indices for a tile
+    of consecutive rows cluster in a small window — canonical Morton key
+    order is spatially local and an offset is a bounded spatial shift) and
+    are None for stride-map-derived pooling maps (a stride map's rows
+    reference a map at a different resolution, where locality is weaker).
     """
 
     in_idx: jnp.ndarray  # (K, C_out) int32, -1 = no pair
@@ -129,9 +130,10 @@ class KernelMap:
 def _build_queries(in_hi, in_lo, out_coords, n_out, offsets):
     """Packed probe keys (K, C_out), invalid probes set to the max key.
 
-    Probe keys are ascending along each row (output coordinates are in
-    canonical key order and an offset adds a constant), which both the
-    sorted-join lookup and the slab conv kernel rely on.
+    Probe keys along a row are spatially local per tile (output coordinates
+    are in canonical Morton order and an offset is a bounded shift), which
+    the tile-join lookup and the slab conv kernel exploit; they are NOT
+    sorted (Morton order is not translation-invariant).
     """
     C_out = out_coords.shape[0]
     queries = out_coords[None, :, :] + offsets[:, None, :]  # (K, C_out, D+1)
@@ -454,13 +456,22 @@ def build_kernel_map(
     from ..ops.pallas.conv_kernel import (
         build_slab_map_from_span,
         measure_spans,
+        slab_ladder,
         slab_tile,
     )
 
     # one fused host sync for both slab spans (tile divides each map's OWN
-    # row dimension: in_idx is (K, C_out), out_idx_t is (K, C_in))
-    fwd_span_dev = measure_spans(in_idx, slab_tile(in_idx.shape[1]))
-    bwd_span_dev = measure_spans(out_idx_t, slab_tile(out_idx_t.shape[1]))
+    # row dimension: in_idx is (K, C_out), out_idx_t is (K, C_in)); the
+    # vector also carries per-ladder-rung outlier counts for the
+    # outlier-tolerant slab sizing
+    f_tile = slab_tile(in_idx.shape[1])
+    b_tile = slab_tile(out_idx_t.shape[1])
+    fwd_span_dev = measure_spans(
+        in_idx, f_tile, in_map.capacity, slab_ladder(f_tile)
+    )
+    bwd_span_dev = measure_spans(
+        out_idx_t, b_tile, out_map.capacity, slab_ladder(b_tile)
+    )
     if defer_slabs:
         # caller batches the span syncs and attaches slabs in a finalize
         # pass (deferred replay: ONE host round trip for the whole phase)
@@ -473,11 +484,13 @@ def build_kernel_map(
         in_idx, in_map.capacity, int(int(fwd_span[0]) * span_margin),
         min_slab=None if slab_floor is None else slab_floor[0],
         union_extra=int(int(fwd_span[1]) * span_margin),
+        outlier_counts=fwd_span[3:], total_pairs=int(fwd_span[2]),
     )
     bwd_slab = build_slab_map_from_span(
         out_idx_t, out_map.capacity, int(int(bwd_span[0]) * span_margin),
         min_slab=None if slab_floor is None else slab_floor[1],
         union_extra=int(int(bwd_span[1]) * span_margin),
+        outlier_counts=bwd_span[3:], total_pairs=int(bwd_span[2]),
     )
     return KernelMap(
         in_idx, out_idx_t, in_map.size_arr, out_map.size_arr, fwd_slab, bwd_slab

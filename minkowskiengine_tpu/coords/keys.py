@@ -7,9 +7,14 @@ Hash tables are a poor fit for XLA's static-shape, vector-parallel model, so
 the TPU-native design instead packs each coordinate row **losslessly** into a
 64-bit key held as two uint32 lanes ``(hi, lo)``:
 
-* packing is order-preserving: ``key(a) < key(b)`` iff ``(b, x_1..x_D)``
-  compares lexicographically — so a key-sorted coordinate map is also sorted
-  by (batch, coords), which batch-decomposition and origin maps exploit;
+* packing is injective and defines the engine's **canonical row order**:
+  batch index in the most-significant bits (so maps stay batch-major, which
+  batch decomposition and origin maps exploit), then the spatial coordinate
+  bits **Morton/Z-order interleaved** — spatially close voxels get close
+  keys, so a run of consecutive map rows is a compact spatial block.  That
+  locality is what keeps the Pallas conv kernel's tile slabs small on
+  *surface* geometry (real room scans), where plain lexicographic order has
+  spans of thousands of rows;
 * uniqueness/lookup become `lax.sort` + vectorized binary search, both of
   which XLA maps efficiently onto the VPU (no serialization, no atomics);
 * two uint32 lanes avoid depending on global ``jax_enable_x64``.
@@ -21,6 +26,11 @@ coordinates are signed and biased by ``2**(dim_bits-1)``.  Defaults give
 and degrade gracefully for higher D (4D spatio-temporal: ±4096).
 Out-of-range coordinates are detected at insert time (see
 ``overflow_mask``) and raise on the host rather than corrupting keys.
+
+Nothing outside this module may assume WHICH total order the key encodes —
+only that it is a fixed total order with the batch index major.  (The slab
+machinery measures spans; lookups are binary searches or grid probes; the
+tile-join computes per-tile key bounds explicitly.)
 """
 
 from __future__ import annotations
@@ -32,6 +42,22 @@ import jax.numpy as jnp
 import numpy as np
 
 UMAX = np.uint32(0xFFFFFFFF)
+
+# Canonical spatial order: "lex" (default) or "morton".  Read once at
+# import (jit caches trace ``pack`` — flipping mid-process would resurrect
+# stale executables); the env knob exists for span-measurement diagnostics.
+# Everything is correct under either order.  Morton was MEASURED (r3) and
+# rejected as the default: under the slab kernel's per-tile max-window
+# semantics it is strictly worse — uniform-26k per-(offset,tile) span
+# p50 1448 / p99 12543 vs lex 240 / 293, surface-room-scan p50 6047 vs 255
+# — because ~1/3 of a Morton block's cells sit on block boundaries whose
+# spatial neighbors live across large rank jumps.  Lex order's surface
+# problem is only its span TAIL (p99 527, max 3108), which the slab
+# builder handles with outlier-tolerant windows + a sparse correction
+# pass (ops/pallas/conv_kernel.py) instead of an order change.
+import os as _os
+
+_ORDER = _os.environ.get("ME_KEY_ORDER", "lex")
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,38 +95,103 @@ def field_ranges(dimension: int) -> Tuple[Tuple[int, int], ...]:
 
 
 def _field_positions(bits: Sequence[int]) -> Tuple[int, ...]:
-    """LSB bit position of each field inside the 64-bit key (batch is MSB)."""
+    """LSB bit position of each field inside the 64-bit key (batch is MSB).
+    Lex layout only (top-aligned so unused LOW bits are 0)."""
     total = sum(bits)
     pos = []
     acc = total
     for b in bits:
         acc -= b
-        pos.append(acc + (64 - total))  # top-align so unused LOW bits are 0
+        pos.append(acc + (64 - total))
     return tuple(pos)
+
+
+@functools.lru_cache(maxsize=None)
+def _spread_steps(n_bits: int, stride: int) -> Tuple[Tuple[int, int], ...]:
+    """(shift, mask32) doubling steps that spread the ``n_bits`` LSBs of a
+    uint32 to positions ``i*stride`` (the classic part1byN magic numbers,
+    generated for any stride/width with ``(n_bits-1)*stride < 32``)."""
+    if stride == 1 or n_bits <= 1:
+        return ()
+    assert (n_bits - 1) * stride < 32
+    steps = []
+    s = 1
+    while s < n_bits:
+        s <<= 1
+    while s > 1:
+        s >>= 1
+        mask = 0
+        g = 0
+        while g * s < n_bits:
+            mask |= ((1 << s) - 1) << (g * s * stride)
+            g += 1
+        steps.append((s * (stride - 1), mask & 0xFFFFFFFF))
+    return tuple(steps)
+
+
+def _spread(v: jnp.ndarray, n_bits: int, stride: int) -> jnp.ndarray:
+    """Bit-spread a uint32 array (overflowed shift bits drop — equivalent to
+    masking, since every kept position is < 32 by construction)."""
+    for shift, mask in _spread_steps(n_bits, stride):
+        v = (v | (v << jnp.uint32(shift))) & jnp.uint32(mask)
+    return v
+
+
+def _or_field(hi, lo, v, pos: int, width: int):
+    """OR a ``width``-bit uint32 field into the (hi, lo) key at bit ``pos``."""
+    if pos >= 32:
+        hi = hi | (v << jnp.uint32(pos - 32))
+    else:
+        lo = lo | (v << jnp.uint32(pos))
+        if width + pos > 32:  # straddles the lane boundary
+            hi = hi | (v >> jnp.uint32(32 - pos))
+    return hi, lo
 
 
 def pack(coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack int32 ``(N, D+1)`` batch-first coordinates into uint32 (hi, lo).
 
-    Order-preserving over valid ranges.  Traceable / jit-friendly.
+    Canonical (Morton) layout, bottom-aligned: spatial bit ``i`` of dim
+    ``d`` at position ``i*D + (D-1-d)``; the batch field at ``D*b`` and up.
+    Valid keys never reach the all-ones padding sentinel (total bits < 64,
+    or the maximal tuple is rejected by ``overflow_mask`` at exactly 64).
+    Injective over valid ranges.  Traceable / jit-friendly.
     """
     n_fields = coords.shape[-1]
-    bits = bit_allocation(n_fields - 1)
-    positions = _field_positions(bits)
+    D = n_fields - 1
+    bits = bit_allocation(D)
 
     hi = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
     lo = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
-    for f in range(n_fields):
-        b, p = bits[f], positions[f]
-        bias = 0 if f == 0 else 2 ** (b - 1)
-        v = (coords[..., f] + bias).astype(jnp.uint32) & jnp.uint32(2**b - 1)
-        if p >= 32:
-            hi = hi | (v << jnp.uint32(p - 32))
-        else:
-            lo = lo | (v << jnp.uint32(p))
-            if b + p > 32:  # field straddles the 32-bit lane boundary
-                hi = hi | (v >> jnp.uint32(32 - p))
-    return hi, lo
+
+    if _ORDER == "lex":
+        positions = _field_positions(bits)
+        for f in range(n_fields):
+            b, p = bits[f], positions[f]
+            bias = 0 if f == 0 else 2 ** (b - 1)
+            v = (coords[..., f] + bias).astype(jnp.uint32) & jnp.uint32(
+                2**b - 1
+            )
+            hi, lo = _or_field(hi, lo, v, p, b)
+        return hi, lo
+
+    b = bits[1]  # per-dim spatial bits (uniform by construction)
+    for d in range(D):
+        p = D - 1 - d  # earlier dims more significant within each group
+        bias = 2 ** (b - 1)
+        v = (coords[..., d + 1] + bias).astype(jnp.uint32) & jnp.uint32(
+            2**b - 1
+        )
+        # bits landing below the lane boundary: i*D + p < 32
+        n_lo = min(b, (32 - p + D - 1) // D)
+        lo = lo | (_spread(v & jnp.uint32(2**n_lo - 1), n_lo, D) << jnp.uint32(p))
+        if n_lo < b:
+            hi = hi | (
+                _spread(v >> jnp.uint32(n_lo), b - n_lo, D)
+                << jnp.uint32(n_lo * D + p - 32)
+            )
+    vb = coords[..., 0].astype(jnp.uint32) & jnp.uint32(2 ** bits[0] - 1)
+    return _or_field(hi, lo, vb, D * b, bits[0])
 
 
 def overflow_mask(coords: jnp.ndarray) -> jnp.ndarray:
@@ -123,9 +214,9 @@ def overflow_mask(coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def key_max() -> Tuple[np.uint32, np.uint32]:
-    """The padding key — sorts after every valid key (valid keys keep the
-    unused low bits zero unless the budget is exactly 64; correctness does
-    not rely on it, only ordering of padding rows does)."""
+    """The padding key — sorts after every valid key (valid keys leave the
+    unused HIGH bits zero when the budget is under 64; at exactly 64 bits
+    the single all-ones tuple is rejected by ``overflow_mask``)."""
     return UMAX, UMAX
 
 

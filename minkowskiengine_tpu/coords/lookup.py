@@ -61,22 +61,24 @@ _MAX_JOIN_SLAB = 8192
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
-def _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab):
-    """Join sorted queries against the sorted map via per-tile slabs.
+def _find_rows_tile_join_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab):
+    """Join query tiles against the sorted map via per-tile slabs.
 
-    q_hi/q_lo: (B, Q) with each row sorted ascending (invalid queries hold
-    the max key and sort last).  For each tile of TILE queries, all matches
-    lie in the contiguous map window [lb(tile_first), lb(next_tile_first))
-    — both sides sorted — so one boundary binary search per tile plus a
-    (TILE, slab) equality compare performs TILE lookups at VPU speed
-    instead of TILE·log(N) dependent gathers.
+    q_hi/q_lo: (B, Q) in ANY order (invalid queries hold the max key).  All
+    matches for a tile of TILE queries lie in the contiguous map window
+    [lb(tile_min_key), lb(tile_max_key)] — keys need not be sorted within
+    the tile, only CLOSE (canonical Morton order makes consecutive rows
+    spatially local, so probe keys of a tile cluster).  Two boundary binary
+    searches per tile plus a (TILE, slab) equality compare perform TILE
+    lookups at VPU speed instead of TILE·log(N) dependent gathers.
     """
     TILE = _JOIN_TILE
     B, Q = q_hi.shape
     nt = Q // TILE
     qh = q_hi.reshape(B, nt, TILE)
     ql = q_lo.reshape(B, nt, TILE)
-    starts = find_lower_bound(map_hi, map_lo, qh[:, :, 0], ql[:, :, 0])
+    min_hi, min_lo, _, _ = _tile_key_bounds(qh, ql)
+    starts = find_lower_bound(map_hi, map_lo, min_hi, min_lo)
     C = map_hi.shape[0]
     starts = jnp.clip(starts, 0, max(C - slab, 0))
 
@@ -97,6 +99,39 @@ def _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab):
 
     rows = jax.lax.map(one_batch, (qh, ql, starts))
     return rows.reshape(B, Q)
+
+
+@jax.jit
+def _tile_key_bounds(qh, ql):
+    """Per-tile lexicographic (hi, lo) key min and max over the last axis.
+
+    Padding (all-ones) keys are excluded from the MAX so a tile mixing
+    valid probes with padding doesn't claim a span to the end of the map;
+    they do participate in the min (they sort last, so the min is
+    unaffected unless the whole tile is padding — whose probes all miss
+    anyway)."""
+    pad = (qh == K.UMAX) & (ql == K.UMAX)
+    min_hi = jnp.min(qh, axis=-1)
+    min_lo = jnp.min(
+        jnp.where(qh == min_hi[..., None], ql, K.UMAX), axis=-1
+    )
+    nh = jnp.where(pad, jnp.uint32(0), qh)
+    nl = jnp.where(pad, jnp.uint32(0), ql)
+    max_hi = jnp.max(nh, axis=-1)
+    max_lo = jnp.max(
+        jnp.where(nh == max_hi[..., None], nl, jnp.uint32(0)), axis=-1
+    )
+    return min_hi, min_lo, max_hi, max_lo
+
+
+@jax.jit
+def _tile_join_spans(map_hi, map_lo, n_map, qh, ql):
+    """(B, nt) int32 span (window size) each query tile needs: lb(max) -
+    lb(min) + 1, clamped at 0 for all-padding tiles."""
+    min_hi, min_lo, max_hi, max_lo = _tile_key_bounds(qh, ql)
+    lo_b = find_lower_bound(map_hi, map_lo, min_hi, min_lo)
+    hi_b = find_lower_bound(map_hi, map_lo, max_hi, max_lo)
+    return jnp.maximum(hi_b - lo_b + 1, 0)
 
 
 @jax.jit
@@ -132,16 +167,16 @@ def join_slab_for_span(span: int, C: int) -> int:
 
 
 def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo, stats=None):
-    """``find_rows`` for per-row-sorted query batches (B, Q).
+    """Tile-join ``find_rows`` for (B, Q) query batches.
 
-    Used by the kernel-map builder: per-offset probe keys are sorted because
-    output coordinates are canonically ordered and an offset adds a constant
-    (invalid probes must hold the max key so they sort last).  Exactness:
-    every match for tile t lies in [lb(first_t), lb(first_{t+1})) since
-    queries are strictly increasing; the slab size is the max of those
-    consecutive-lower-bound spans (one host sync, amortized by the manager's
-    kernel-map cache).  Falls back to plain binary search when tiling does
-    not apply or the required slab is too large.
+    Used by the kernel-map builder: per-offset probe keys of a tile of
+    consecutive output rows cluster (canonical order is spatially local and
+    an offset is a bounded spatial shift), so each tile's matches fit a
+    small contiguous map window [lb(tile min key), lb(tile max key)].
+    Queries need NOT be sorted — the bounds are computed explicitly.  The
+    slab size is the max per-tile span (one host sync, amortized by the
+    manager's kernel-map cache).  Falls back to plain binary search when
+    tiling does not apply or the required slab is too large.
 
     ``stats``: optional dict; receives ``join_slab`` (the ladder rung used)
     so callers can ratchet a floor for traced replays.
@@ -156,11 +191,8 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo, stats=None):
     nt = Q // TILE
     qh = q_hi.reshape(B, nt, TILE)
     ql = q_lo.reshape(B, nt, TILE)
-    lbs = find_lower_bound(map_hi, map_lo, qh[:, :, 0], ql[:, :, 0])
-    lb_next = jnp.concatenate(
-        [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
-    )
-    span = int(jnp.max(lb_next - lbs))  # host sync (sync/deferred path only)
+    spans = _tile_join_spans(map_hi, map_lo, n_map, qh, ql)
+    span = int(jnp.max(spans))  # host sync (sync/deferred path only)
     slab = join_slab_for_span(span, C)
     if stats is not None:
         stats["join_slab"] = slab
@@ -168,7 +200,7 @@ def find_rows_sorted(map_hi, map_lo, n_map, q_hi, q_lo, stats=None):
         stats["join_capacity"] = C
     if slab > _MAX_JOIN_SLAB:
         return find_rows(map_hi, map_lo, n_map, q_hi, q_lo)
-    return _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
+    return _find_rows_tile_join_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
 
 
 def find_rows_sorted_fixed(map_hi, map_lo, n_map, q_hi, q_lo, slab: int):
@@ -184,13 +216,11 @@ def find_rows_sorted_fixed(map_hi, map_lo, n_map, q_hi, q_lo, slab: int):
     nt = Q // TILE
     qh = q_hi.reshape(B, nt, TILE)
     ql = q_lo.reshape(B, nt, TILE)
-    lbs = find_lower_bound(map_hi, map_lo, qh[:, :, 0], ql[:, :, 0])
-    lb_next = jnp.concatenate(
-        [lbs[:, 1:], jnp.broadcast_to(n_map, (B, 1)).astype(lbs.dtype)], axis=1
-    )
     slab = min(int(slab), C)
-    ok = jnp.max(lb_next - lbs) <= jnp.int32(slab)
-    rows = _find_rows_sorted_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
+    ok = jnp.max(_tile_join_spans(map_hi, map_lo, n_map, qh, ql)) <= jnp.int32(
+        slab
+    )
+    rows = _find_rows_tile_join_impl(map_hi, map_lo, n_map, q_hi, q_lo, slab)
     return rows, ok
 
 

@@ -274,7 +274,8 @@ class CoordinateManager:
         self._entry_key: Optional[CoordinateMapKey] = None
         # shape-stability ratchets (largest capacity / slab rung seen for a
         # logical map across geometry replays — see GeometryReplayer).
-        # _slab_floors values: ((fwd_S, fwd_E), (bwd_S, bwd_E)) rungs
+        # _slab_floors values: ((fwd_S, fwd_E, fwd_P), (bwd_S, bwd_E, bwd_P))
+        # rungs (slab size, union extra, outlier-list capacity)
         # (slab size, union-extra; U derives from S+E — conv_kernel.py).
         self._cap_floors: Dict[tuple, int] = {}
         self._slab_floors: Dict[tuple, tuple] = {}
@@ -926,11 +927,19 @@ class CoordinateManager:
             self._slab_floors[cache_key] = (
                 merge_slab_floor(
                     None if prev is None else prev[0],
-                    (kmap.fwd_slab.slab_size, kmap.fwd_slab.extra_rung),
+                    (
+                        kmap.fwd_slab.slab_size,
+                        kmap.fwd_slab.extra_rung,
+                        kmap.fwd_slab.ov_cap,
+                    ),
                 ),
                 merge_slab_floor(
                     None if prev is None else prev[1],
-                    (kmap.bwd_slab.slab_size, kmap.bwd_slab.extra_rung),
+                    (
+                        kmap.bwd_slab.slab_size,
+                        kmap.bwd_slab.extra_rung,
+                        kmap.bwd_slab.ov_cap,
+                    ),
                 ),
             )
         self._record(
@@ -1321,11 +1330,16 @@ class CoordinateManager:
             km = self._kernel_maps.get(cache_key)
             for slab, span2 in ((km.fwd_slab, fs), (km.bwd_slab, bs)):
                 # a capacity-sized slab always covers (start pinned to 0);
-                # otherwise require the from_span alignment margin
+                # otherwise require the from_span alignment margin — or,
+                # for outlier-tolerant slabs, that the dropped pairs fit
+                # the correction-list capacity
                 if slab is None:
                     continue
                 if slab.slab_size < slab.capacity_in:
-                    oks.append(span2[0] + 15 <= jnp.int32(slab.slab_size))
+                    if slab.ov_count is not None:
+                        oks.append(slab.ov_count <= jnp.int32(slab.ov_cap))
+                    else:
+                        oks.append(span2[0] + 15 <= jnp.int32(slab.slab_size))
                 if 0 < slab.union_size < slab.capacity_in:
                     oks.append(
                         span2[1] + slab.slab_size + 16
@@ -1396,11 +1410,13 @@ class CoordinateManager:
                 kmap.in_idx, kmap.capacity_in, int(int(fs[0]) * m),
                 min_slab=None if floor is None else floor[0],
                 union_extra=int(int(fs[1]) * m),
+                outlier_counts=fs[3:], total_pairs=int(fs[2]),
             )
             bwd = build_slab_map_from_span(
                 kmap.out_idx_t, kmap.capacity_out, int(int(bs[0]) * m),
                 min_slab=None if floor is None else floor[1],
                 union_extra=int(int(bs[1]) * m),
+                outlier_counts=bs[3:], total_pairs=int(bs[2]),
             )
             self._kernel_maps[cache_key] = KernelMap(
                 kmap.in_idx, kmap.out_idx_t, kmap.n_in, kmap.n_out, fwd, bwd
@@ -1409,11 +1425,11 @@ class CoordinateManager:
                 self._slab_floors[cache_key] = (
                     merge_slab_floor(
                         None if floor is None else floor[0],
-                        (fwd.slab_size, fwd.extra_rung),
+                        (fwd.slab_size, fwd.extra_rung, fwd.ov_cap),
                     ),
                     merge_slab_floor(
                         None if floor is None else floor[1],
-                        (bwd.slab_size, bwd.extra_rung),
+                        (bwd.slab_size, bwd.extra_rung, bwd.ov_cap),
                     ),
                 )
         from ..ops.dense_conv import build_dense_plan

@@ -13,7 +13,8 @@ Semantics match the reference contract (src/coordinate_map_cpu.hpp:340-352):
     reconstructed == input_coordinates
 
 with one deliberate difference: unique rows come out in **canonical key-sorted
-order** (batch-major lexicographic) rather than first-occurrence order.  The
+order** (batch-major, Morton/Z-order spatial) rather than first-occurrence
+order.  The
 reference's own ordering is backend-dependent (CPU: insertion order, GPU:
 hash-table order), so no caller may rely on it; sorted order is deterministic,
 permutation-invariant, and lets every later lookup use binary search.

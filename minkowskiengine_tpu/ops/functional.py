@@ -150,17 +150,82 @@ sparse_conv.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
 # --- fused Pallas path (TPU): slab-DMA + one-hot MXU gather ----------------
 
 
+def _outlier_apply(out, buf, kernel, slab):
+    """Add the slab map's dropped-pair contributions:
+    ``out[dst] += buf[src] @ W[k]`` over the outlier COO list.
+
+    The slab kernel gathers ZERO for any pair whose slab-local index falls
+    outside [0, S) (ops/pallas/conv_kernel.py ``_slab_metadata``); with
+    outlier-tolerant rung sizing those pairs are real matches (span-tail
+    pairs on surface geometry) carried in ``slab.ov_*`` and applied here
+    as plain XLA gather → masked per-offset GEMM → scatter-add.  Cost:
+    K·P·Cin·Cout MXU FLOPs (P ≤ 16k) — negligible next to the ~6× slab
+    shrink it buys on room scans.
+    """
+    if slab.ov_src is None:
+        return out
+    Kv = kernel.shape[0]
+    w2d = kernel.reshape(-1, kernel.shape[-1])
+    X = take_rows(buf, slab.ov_src)  # (P, Cin); padding rows zero
+    parts = []
+    # ONE MXU matmul per chunk: (P, K·Cin) @ (K·Cin, Cout); the zero
+    # blocks of Xe select the pair's own W[k] (far fewer dispatches than a
+    # K-step scan — the scan measured 0.9 ms at 27 offsets from per-step
+    # overhead alone)
+    for lo, hi in _p_chunks(X.shape[0], Kv * X.shape[1]):
+        Xe = _k_blocked(X[lo:hi], slab.ov_k[lo:hi], Kv)
+        parts.append(jnp.dot(Xe, w2d, preferred_element_type=jnp.float32))
+    contrib = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    tgt = jnp.where(slab.ov_dst >= 0, slab.ov_dst, out.shape[0])
+    return out.at[tgt].add(contrib.astype(out.dtype), mode="drop")
+
+
+_MAX_XE_ELEMS = 32 * 1024 * 1024  # k-blocked intermediate cap (128 MB f32)
+
+
+def _p_chunks(P, row_elems):
+    """Static (lo, hi) chunks of the pair axis bounding P·K·Cin."""
+    step = max(256, _MAX_XE_ELEMS // max(row_elems, 1))
+    return [(lo, min(lo + step, P)) for lo in range(0, P, step)]
+
+
+def _k_blocked(X, ov_k, kernel_volume):
+    """(P, K·Cin) block row per pair: X[p] placed in block ov_k[p], zeros
+    elsewhere — turns the per-pair weight selection into plain GEMM."""
+    P, cin = X.shape
+    sel = (
+        ov_k[:, None] == jnp.arange(kernel_volume, dtype=jnp.int32)[None, :]
+    )  # (P, K)
+    return (
+        sel[:, :, None].astype(X.dtype) * X[:, None, :]
+    ).reshape(P, kernel_volume * cin)
+
+
+def _outlier_dw(d_kernel, feats, g, slab):
+    """dW correction for dropped pairs: ``dW[k] += feats[src]ᵀ ⊗ g[dst]``,
+    as one GEMM on the k-blocked pair rows (see _outlier_apply)."""
+    if slab.ov_src is None:
+        return d_kernel
+    Kv, cin, cout = d_kernel.shape
+    X = take_rows(feats, slab.ov_src)
+    G = take_rows(g, slab.ov_dst)  # (P, Cout); padding rows zero
+    dws = 0.0
+    for lo, hi in _p_chunks(X.shape[0], Kv * cin):
+        Xe = _k_blocked(X[lo:hi], slab.ov_k[lo:hi], Kv)
+        dws = dws + jnp.dot(Xe.T, G[lo:hi], preferred_element_type=jnp.float32)
+    return d_kernel + dws.reshape(Kv, cin, cout).astype(d_kernel.dtype)
+
+
 @jax.custom_vjp
 def sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab):
     from .pallas.conv_kernel import sparse_conv_fwd_pallas
 
-    return sparse_conv_fwd_pallas(feats, kernel, fwd_slab)
+    out = sparse_conv_fwd_pallas(feats, kernel, fwd_slab)
+    return _outlier_apply(out, feats, kernel, fwd_slab)
 
 
 def _conv_pallas_fwd(feats, kernel, fwd_slab, bwd_slab):
-    from .pallas.conv_kernel import sparse_conv_fwd_pallas
-
-    out = sparse_conv_fwd_pallas(feats, kernel, fwd_slab)
+    out = sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab)
     return out, (feats, kernel, fwd_slab, bwd_slab)
 
 
@@ -173,10 +238,11 @@ def _conv_pallas_bwd(res, g):
     feats, kernel, fwd_slab, bwd_slab = res
     # d_in[i] = Σ_k g[out_idx_t[k, i]] @ W[k]ᵀ — the forward kernel run on
     # the transposed matching with transposed weights.
-    d_feats = sparse_conv_fwd_pallas(
-        g, jnp.swapaxes(kernel, 1, 2), bwd_slab
-    )
+    w_t = jnp.swapaxes(kernel, 1, 2)
+    d_feats = sparse_conv_fwd_pallas(g, w_t, bwd_slab)
+    d_feats = _outlier_apply(d_feats, g, w_t, bwd_slab)
     d_kernel = sparse_conv_dw_pallas(feats, g, fwd_slab, kernel.shape)
+    d_kernel = _outlier_dw(d_kernel, feats, g, fwd_slab)
     return d_feats, d_kernel, None, None
 
 

@@ -5,11 +5,14 @@ Why this shape: XLA lowers row gathers (`jnp.take`) to fine-grained DMAs —
 channel width (measured on v5e), 50–1000× off roofline.  The TPU-native fix
 exploits a structural invariant of this engine's kernel maps:
 
-  * coordinate maps are stored in ascending packed-key order
-    (coords/map.py), and a kernel offset shifts every key by a constant, so
-    **per-offset gather indices are strictly monotone**;
+  * coordinate maps are stored in canonical Morton (Z-order) key order
+    (coords/keys.py): consecutive rows are spatially local, and a kernel
+    offset only reaches bounded spatial neighbors, so **the gather indices
+    of a T-row output tile cluster in a small window of input rows**;
   * hence the inputs needed by a T-row output tile live in a contiguous
-    slab of ≈T input rows (measured ≈1.2×T on ScanNet-like clouds).
+    slab of a few×T input rows — on surfaces as well as volumes (under the
+    old lexicographic order, surface-scan slabs exploded to thousands of
+    rows because a row-major walk has no 2-D locality).
 
 The kernel therefore runs, per (output-tile, offset) grid step:
 
@@ -64,7 +67,9 @@ class SlabMap:
         ``[starts[k,t], starts[k,t] + S)`` for the tile, so one DMA per
         tile replaces K per-offset DMAs (the kernel was ~70% HBM-bound on
         slab traffic; offsets' slabs overlap almost entirely).
-      slab_size: static int S (multiple of 16, ≥ max span).
+      slab_size: static int S (multiple of 16, ≥ the chosen span rung; NOT
+        necessarily ≥ the max span — valid pairs outside their window are
+        carried in the outlier list and applied by an XLA correction pass).
       union_size: static int U (multiple of 16, ≥ union span), or 0 when
         the union mode is disabled (union spans over budget — e.g. surface
         scans whose per-plane row runs are huge).  Derived deterministically
@@ -73,6 +78,17 @@ class SlabMap:
         replayer ratchets; U = union rung of extra_rung + S + 16).
       tile: static int T.
       capacity_in: input-buffer capacity the starts were clamped against.
+      ov_src / ov_dst / ov_k: optional (P,) int32 outlier pair lists —
+        valid (offset, src_row, dst_row) matches whose slab-local index
+        falls outside [0, S); the Pallas kernel gathers zero for them and
+        an XLA correction pass (ops/functional.py) adds their
+        contributions.  Padding entries hold -1.  This decouples the
+        static slab size from the span MAX: surface scans have span
+        p99 ≈ 2×tile but max ≈ 3k+ (rare scanline wraps), so sizing S at
+        the tail percentile and correcting a few thousand pairs runs the
+        slab kernel ~6× faster than max-sized slabs.
+      ov_count: optional () int32 device count of true outliers (validity:
+        exact iff ov_count <= P; checked by traced_ok / the sync builder).
     """
 
     starts: jnp.ndarray
@@ -83,12 +99,28 @@ class SlabMap:
     extra_rung: int
     tile: int
     capacity_in: int
+    ov_src: Optional[jnp.ndarray] = None
+    ov_dst: Optional[jnp.ndarray] = None
+    ov_k: Optional[jnp.ndarray] = None
+    ov_count: Optional[jnp.ndarray] = None
+
+    @property
+    def ov_cap(self) -> int:
+        return 0 if self.ov_src is None else int(self.ov_src.shape[0])
 
     def tree_flatten(self):
         # extra_rung deliberately NOT in aux: it is builder bookkeeping (the
         # floor the replayer ratchets) and can grow without changing any
         # compiled shape — including it would retrace jits for nothing.
-        return (self.starts, self.local_tk, self.u_starts), (
+        return (
+            self.starts,
+            self.local_tk,
+            self.u_starts,
+            self.ov_src,
+            self.ov_dst,
+            self.ov_k,
+            self.ov_count,
+        ), (
             self.slab_size,
             self.union_size,
             self.tile,
@@ -97,11 +129,11 @@ class SlabMap:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        starts, local_tk, u_starts = children
+        starts, local_tk, u_starts, ov_src, ov_dst, ov_k, ov_count = children
         slab_size, union_size, tile, capacity_in = aux
         return cls(
             starts, local_tk, u_starts, slab_size, union_size, 0, tile,
-            capacity_in,
+            capacity_in, ov_src, ov_dst, ov_k, ov_count,
         )
 
 
@@ -119,13 +151,10 @@ def _ring_depth(slab: int, cin: int, num_k: int) -> int:
     return max(2, min(8, num_k, _RING_VMEM_BUDGET // max(per, 1)))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
-    """Compute (starts, local_tk, u_starts) for static slab/union sizes."""
-    K, Co = in_idx.shape
-    nt = Co // tile
-    idx = in_idx.reshape(K, nt, tile)
-    valid = idx >= 0
+def _slab_starts(idx, valid, cap_in, slab_size):
+    """(K, nt) 16-aligned per-(offset, tile) slab starts — the ONE place
+    the start rule lives (metadata, outlier extraction and span/outlier
+    measurement must agree bit-for-bit)."""
     big = jnp.where(valid, idx, jnp.int32(2**30))
     start = jnp.min(big, axis=-1)  # (K, nt); 2**30 if (offset, tile) empty
     # empty (offset, tile) pairs park at the tile's min valid start (their
@@ -135,11 +164,22 @@ def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
     tile_min = jnp.where(tile_min == 2**30, 0, tile_min)
     start = jnp.where(start == 2**30, tile_min[None, :], start)
     start = (start // 16) * 16  # sublane-aligned DMA slices (16 covers bf16)
-    start = jnp.clip(start, 0, max(cap_in - slab_size, 0))
+    return jnp.clip(start, 0, max(cap_in - slab_size, 0))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
+    """Compute (starts, local_tk, u_starts) for static slab/union sizes."""
+    K, Co = in_idx.shape
+    nt = Co // tile
+    idx = in_idx.reshape(K, nt, tile)
+    valid = idx >= 0
+    start = _slab_starts(idx, valid, cap_in, slab_size)
     u = jnp.min(start, axis=0)
     u = jnp.clip(u, 0, max(cap_in - union_size, 0))
     local = jnp.where(valid, idx - start[:, :, None], slab_size)
-    # anything that still falls outside [0, S) gathers zero
+    # anything that still falls outside [0, S) gathers zero (the dropped
+    # pairs are exactly the outlier list — see _extract_outliers)
     local = jnp.where((local < 0) | (local > slab_size), slab_size, local)
     local = local.astype(jnp.int32)
     return (
@@ -149,18 +189,65 @@ def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _extract_outliers(in_idx, cap_in, tile, slab_size, cap):
+    """Compact the valid pairs whose slab-local index falls outside
+    [0, slab_size) into (src, dst, k) lists of static capacity ``cap``.
+
+    Returns (ov_src, ov_dst, ov_k, count); padding entries are -1.  Exact
+    iff count <= cap (extras beyond capacity are silently truncated — the
+    caller checks the count and re-rungs / falls back when violated).
+    """
+    K, Co = in_idx.shape
+    nt = Co // tile
+    idx = in_idx.reshape(K, nt, tile)
+    valid = idx >= 0
+    start = _slab_starts(idx, valid, cap_in, slab_size)
+    local = idx - start[:, :, None]
+    out_mask = valid & ((local < 0) | (local >= slab_size))  # (K, nt, tile)
+    flat_mask = out_mask.reshape(-1)
+    pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat_mask, pos, cap)  # cap ⇒ dropped
+    src = idx.reshape(-1)
+    dst = jnp.broadcast_to(
+        jnp.arange(Co, dtype=jnp.int32).reshape(1, nt, tile), idx.shape
+    ).reshape(-1)
+    kk = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[:, None, None], idx.shape
+    ).reshape(-1)
+    fill = jnp.full((cap,), -1, jnp.int32)
+    ov_src = fill.at[tgt].set(src, mode="drop")
+    ov_dst = fill.at[tgt].set(dst, mode="drop")
+    ov_k = fill.at[tgt].set(kk, mode="drop")
+    return ov_src, ov_dst, ov_k, jnp.sum(flat_mask.astype(jnp.int32))
+
+
 def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
     return min(tile, capacity)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def measure_spans(in_idx: jnp.ndarray, tile: int) -> jnp.ndarray:
-    """(2,) int32 device vector [max per-(offset, tile) span, max per-tile
-    union extra] — no sync here so callers can fuse several measurements
-    into one host round trip.
+def slab_ladder(tile: int) -> tuple:
+    """The static slab-size quantization rungs (fractions of the tile —
+    shape stability: every new slab size is a fresh Mosaic compile)."""
+    return tuple(
+        _round_up(int(tile * m), 16) for m in (1.25, 1.5, 2.0, 3.0, 4.0)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def measure_spans(
+    in_idx: jnp.ndarray, tile: int, cap_in: int = 0, ladder: tuple = ()
+) -> jnp.ndarray:
+    """(3 + len(ladder),) int32 device vector
+    ``[max span, max union extra, total valid pairs, outliers@rung...]`` —
+    no sync here so callers can fuse several measurements into one host
+    round trip.  With an empty ladder only the first three land.
 
     ``union extra`` = spread of the per-offset slab starts within a tile;
     the per-tile union slab needs ``extra + span (+16 alignment)`` rows.
+    ``outliers@rung`` = valid pairs whose slab-local index would fall
+    outside a window of that ladder size (bit-matched to
+    ``_extract_outliers`` — same aligned-start rule).
     """
     K, Co = in_idx.shape
     idx = in_idx.reshape(K, -1, tile)
@@ -179,10 +266,23 @@ def measure_spans(in_idx: jnp.ndarray, tile: int) -> jnp.ndarray:
     tmax = jnp.max(jnp.where(any_valid, start, jnp.int32(-1)), axis=0)
     tmin = jnp.min(start, axis=0)
     extra = jnp.where(tmax >= 0, tmax - jnp.minimum(tmin, tmax), 0)
-    return jnp.stack([span, jnp.max(extra)])
+    total = jnp.sum(valid.astype(jnp.int32))
+    out = [span, jnp.max(extra), total]
+    for S in ladder:
+        st = _slab_starts(idx, valid, cap_in, S)
+        local = idx - st[:, :, None]
+        miss = valid & ((local < 0) | (local >= S))
+        out.append(jnp.sum(miss.astype(jnp.int32)))
+    return jnp.stack(out)
 
 
-_MAX_UNION = 4096  # beyond this, per-tile union DMAs stop paying for VMEM
+# Union slabs get a larger VMEM allowance than the ring (one double buffer
+# vs a deep ring): surface scans need U ≈ 7k (per-offset start spread spans
+# a z-plane of rows), which pays for itself — the union DMA moves ~2× less
+# HBM than 27 per-offset ring DMAs.  _union_enabled still gates on the
+# actual (padded) channel width at call time.
+_UNION_VMEM_BUDGET = 10 * 1024 * 1024
+_MAX_UNION = 8192  # beyond this, per-tile union DMAs stop paying for VMEM
 
 
 def _union_rung(needed: int, capacity_in: int) -> int:
@@ -196,17 +296,49 @@ def _union_rung(needed: int, capacity_in: int) -> int:
     return u
 
 
-def merge_slab_floor(prev, new):
-    """Ratchet-merge two (S, E) floors (slab rung, union-extra rung).
+def _floor3(f):
+    """Normalize a slab floor to (S, E, P) — legacy (S, E) floors get P=0."""
+    if f is None:
+        return None
+    return (int(f[0]), int(f[1]), int(f[2]) if len(f) > 2 else 0)
 
-    Both components are max-monotone; the union size U is DERIVED from
+
+def merge_slab_floor(prev, new):
+    """Ratchet-merge two (S, E, P) floors (slab rung, union-extra rung,
+    outlier capacity).
+
+    All components are max-monotone; the union size U is DERIVED from
     (S, E) at build time (``_union_rung(E + S + 16)``), which keeps U
     consistent when S and E ratchet on different clouds, and makes
     union-disable (U would exceed the budget) sticky automatically —
     E only grows."""
+    new = _floor3(new)
     if prev is None:
         return new
-    return (max(prev[0], new[0]), max(prev[1], new[1]))
+    prev = _floor3(prev)
+    return tuple(max(a, b) for a, b in zip(prev, new))
+
+
+_MAX_OUTLIERS = 16384
+_OUTLIER_FRAC = 0.01
+_MIN_OV_CAP = 256
+
+
+def _outlier_budget(total_pairs: int) -> int:
+    """Largest outlier count worth trading for a smaller slab rung: a
+    bounded fraction of all pairs (the correction pass costs
+    K·P·Cin·Cout MXU FLOPs) with an absolute cap."""
+    return int(min(_MAX_OUTLIERS, max(1024, _OUTLIER_FRAC * total_pairs)))
+
+
+def _ov_rung(count: int) -> int:
+    """Static outlier-list capacity rung (pow2, floor 256)."""
+    if count <= 0:
+        return 0
+    cap = _MIN_OV_CAP
+    while cap < count:
+        cap <<= 1
+    return cap
 
 
 def build_slab_map_from_span(
@@ -216,31 +348,47 @@ def build_slab_map_from_span(
     tile: int = DEFAULT_TILE,
     min_slab=None,
     union_extra: int = 0,
+    outlier_counts=None,
+    total_pairs: int = 0,
 ) -> Optional[SlabMap]:
     """Slab decomposition given host-known span measurements.
 
-    ``min_slab`` is an optional (S, E) shape-stability floor (slab rung,
-    union-extra rung; ratcheted by the geometry replayer): reusing the
-    largest rungs seen so far keeps the kernel shape — and therefore the
-    compiled step — stable across geometry jitter.  ``union_extra`` is the
-    measured per-tile spread of the slab starts (measure_spans[1]); the
-    per-tile union slab needs ``extra + S + 16`` rows.
+    ``min_slab`` is an optional (S, E, P) shape-stability floor (slab rung,
+    union-extra rung, outlier capacity; ratcheted by the geometry
+    replayer): reusing the largest rungs seen so far keeps the kernel
+    shape — and therefore the compiled step — stable across geometry
+    jitter.  ``union_extra`` is the measured per-tile spread of the slab
+    starts (measure_spans[1]); the per-tile union slab needs
+    ``extra + S + 16`` rows.  ``outlier_counts`` (host ints, one per
+    ``slab_ladder(tile)`` rung, measure_spans[3:]) unlock outlier-tolerant
+    sizing: pick the smallest rung whose dropped-pair count fits the
+    budget and carry those pairs in the correction list instead of
+    inflating S to the span max.
     """
     K, Co = in_idx.shape
     tile = min(tile, Co)
     if Co % tile != 0:
         return None
+    min_slab = _floor3(min_slab)
     # Shape stability vs DMA slack: a new slab size is a new kernel shape
     # and a multi-second AOT recompile through the TPU tunnel, but slack is
     # wasted bandwidth.  Quantize to a short ladder of sizes (fractions of
     # the tile) — geometry jitter rarely crosses a rung.
     needed = max_span + 15
     slab = None
-    for mult in (1.25, 1.5, 2.0, 3.0, 4.0):
-        cand = _round_up(int(tile * mult), 16)
-        if needed <= cand:
-            slab = cand
-            break
+    ov_needed = 0
+    if outlier_counts is not None:
+        budget = _outlier_budget(total_pairs)
+        for cand, cnt in zip(slab_ladder(tile), outlier_counts):
+            if int(cnt) <= budget:
+                slab = cand
+                ov_needed = int(cnt)
+                break
+    if slab is None:
+        for cand in slab_ladder(tile):
+            if needed <= cand:
+                slab = cand
+                break
     if slab is None:
         slab = _round_up(needed, tile)
     if min_slab is not None:
@@ -254,8 +402,15 @@ def build_slab_map_from_span(
     starts, local_tk, u_starts = _slab_metadata(
         in_idx, capacity_in, tile, slab, union
     )
+    ov_cap = _ov_rung(ov_needed)
+    if min_slab is not None:
+        ov_cap = max(ov_cap, int(min_slab[2]))
+    ov = (None, None, None, None)
+    if ov_cap and slab < capacity_in:
+        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap)
     return SlabMap(
-        starts, local_tk, u_starts, slab, union, extra_rung, tile, capacity_in
+        starts, local_tk, u_starts, slab, union, extra_rung, tile,
+        capacity_in, *ov,
     )
 
 
@@ -265,26 +420,30 @@ def build_slab_map_floored(
     floor,
     tile: int = DEFAULT_TILE,
 ) -> Optional[SlabMap]:
-    """Slab decomposition at a KNOWN (ratcheted) (S, E) floor — fully
+    """Slab decomposition at a KNOWN (ratcheted) (S, E, P) floor — fully
     traceable: no host span fetch.  Used by the traced replay, which checks
-    ``span + 15 <= S`` and ``extra + S + 16 <= U`` separately (mirroring
-    build_slab_map_from_span's margins) and falls back to the sync path
-    when a floor is violated."""
+    the floors separately (``span + 15 <= S`` when P == 0, else
+    ``ov_count <= P``; and ``extra + S + 16 <= U``) and falls back to the
+    sync path when a floor is violated."""
     K, Co = in_idx.shape
     tile = min(tile, Co)
-    slab, extra_rung = (floor, 0) if isinstance(floor, int) else floor
+    floor = _floor3((floor, 0) if isinstance(floor, int) else floor)
+    slab, extra_rung, ov_cap = floor
     if Co % tile != 0 or slab <= 0:
         return None
     slab = min(int(slab), capacity_in)
-    extra_rung = int(extra_rung)
     union = (
         _union_rung(extra_rung + slab + 16, capacity_in) if extra_rung else 0
     )
     starts, local_tk, u_starts = _slab_metadata(
         in_idx, capacity_in, tile, slab, union
     )
+    ov = (None, None, None, None)
+    if ov_cap and slab < capacity_in:
+        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap)
     return SlabMap(
-        starts, local_tk, u_starts, slab, union, extra_rung, tile, capacity_in
+        starts, local_tk, u_starts, slab, union, extra_rung, tile,
+        capacity_in, *ov,
     )
 
 
@@ -462,7 +621,7 @@ def _union_enabled(slab_map: SlabMap, cin_padded: int, itemsize: int) -> bool:
     return (
         slab_map.union_size > 0
         and 2 * slab_map.union_size * cin_padded * itemsize
-        <= _RING_VMEM_BUDGET
+        <= _UNION_VMEM_BUDGET
     )
 
 

@@ -25,18 +25,49 @@ def rand_coords(n, d, batch=4, lo=-100, hi=100, seed=0):
     return np.concatenate([b, xyz], axis=1).astype(np.int32)
 
 
+def morton_key_ref(c, d):
+    """Arbitrary-precision python-int reference of the canonical key under
+    the ACTIVE order (K._ORDER): batch in the MSBs, then either Morton
+    (bit i of dim j at position i*d + (d-1-j)) or lexicographic spatial
+    bits; coordinates biased to unsigned.  Both reduce to the same
+    batch-major total order requirement the engine relies on."""
+    bits = K.bit_allocation(d)
+    b = bits[1]
+    if K._ORDER == "lex":
+        key = int(c[0])
+        for j in range(d):
+            key = (key << b) | (int(c[j + 1]) + (1 << (b - 1)))
+        return key << (64 - sum(bits))  # top-aligned lex layout
+    key = int(c[0]) << (d * b)
+    for j in range(d):
+        v = int(c[j + 1]) + (1 << (b - 1))
+        for i in range(b):
+            key |= ((v >> i) & 1) << (i * d + (d - 1 - j))
+    return key
+
+
 class TestKeys:
-    def test_pack_order_preserving(self):
+    def test_pack_matches_key_reference(self):
         for d in (1, 2, 3, 4, 5, 6):
             coords = rand_coords(500, d, lo=-50, hi=50, seed=d)
             hi, lo = K.pack(jnp.asarray(coords))
             hi, lo = np.asarray(hi).astype(np.uint64), np.asarray(lo).astype(np.uint64)
             packed = (hi << np.uint64(32)) | lo
-            order_key = np.argsort(packed, kind="stable")
-            order_lex = np.lexsort(tuple(coords[:, i] for i in range(d, -1, -1)))
-            np.testing.assert_array_equal(
-                coords[order_key], coords[order_lex]
+            expected = np.array(
+                [morton_key_ref(c, d) for c in coords], np.uint64
             )
+            np.testing.assert_array_equal(packed, expected)
+
+    def test_pack_order_batch_major(self):
+        """Batch index is the major sort field — batch decomposition,
+        origin maps and per-batch slicing rely on it."""
+        coords = rand_coords(500, 3, batch=7, lo=-50, hi=50, seed=3)
+        hi, lo = K.pack(jnp.asarray(coords))
+        packed = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
+            lo
+        ).astype(np.uint64)
+        order = np.argsort(packed, kind="stable")
+        assert (np.diff(coords[order][:, 0]) >= 0).all()
 
     def test_pack_injective(self):
         coords = rand_coords(2000, 3, batch=16, lo=-3, hi=3, seed=1)
@@ -69,9 +100,11 @@ class TestUnique:
         nu = int(res.n_unique)
         expected_unique = np.unique(coords, axis=0)
         assert nu == len(expected_unique)
+        # canonical order: ascending Morton key (batch-major)
+        mk = np.array([morton_key_ref(c, d) for c in expected_unique])
+        expected_unique = expected_unique[np.argsort(mk, kind="stable")]
 
         u = np.asarray(u_coords)[:nu]
-        # canonical order: lexicographic by (batch, dims)
         np.testing.assert_array_equal(u, expected_unique)
 
         inv = np.asarray(res.inverse_map)[:n]
@@ -200,7 +233,8 @@ class TestManager:
         mkey = mgr.merge([k1, k2])
         merged = mgr.get_coordinate_map(mkey).to_numpy()
         expected = np.unique(np.concatenate([c1, c2]), axis=0)
-        np.testing.assert_array_equal(merged, expected)
+        mk = np.array([morton_key_ref(c, 2) for c in expected])
+        np.testing.assert_array_equal(merged, expected[np.argsort(mk)])
 
         maps = mgr.union_map([k1, k2], mkey)
         for ci, ki, m in ((c1, k1, maps[0]), (c2, k2, maps[1])):

@@ -34,6 +34,7 @@ def cloud(seed, n=400, hi=24):
 
 
 class TestEndurance:
+    @pytest.mark.slow
     def test_100_fresh_geometries_bounded(self):
         import jax.numpy as jnp
         import optax

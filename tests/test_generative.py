@@ -26,6 +26,7 @@ SMALL = (4, 8, 8, 16, 16, 16, 16)
 
 
 class TestCompletion:
+    @pytest.mark.slow
     def test_forward_training(self):
         mgr = ME.CoordinateManager(D=3)
         coords, feats = voxel_shape(seed=1)
@@ -47,6 +48,7 @@ class TestCompletion:
         # generative decoder must actually expand coordinates somewhere
         assert final.size > 0
 
+    @pytest.mark.slow
     def test_eval_prunes_hard(self):
         mgr = ME.CoordinateManager(D=3)
         coords, feats = voxel_shape(seed=3)

@@ -110,6 +110,7 @@ class TestGeometryPipeline:
         with pytest.raises(RuntimeError, match="frozen"):
             view.insert_and_map(np.array([[0, 1, 1, 1]], np.int32))
 
+    @pytest.mark.slow
     def test_compiled_replayer_matches_eager(self, warm):
         """The fully-traced coordinate phase (ONE jitted program per batch)
         must produce bit-identical results to the eager path, never fall

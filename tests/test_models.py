@@ -35,6 +35,7 @@ class TestMinkUNet:
         np.testing.assert_array_equal(np.asarray(out.C), np.asarray(x.C))
         assert out.shape == (x.size, 5)
 
+    @pytest.mark.slow
     def test_train_step_decreases_loss(self):
         coords, feats = rand_cloud(n=120, seed=2)
         labels = np.random.RandomState(0).randint(0, 5, len(coords))
@@ -59,6 +60,7 @@ class TestMinkUNet:
 
 
 class TestResNet:
+    @pytest.mark.slow
     def test_forward(self):
         coords, feats = rand_cloud(n=300, hi=64, seed=3)
         x = ME.SparseTensor(feats, coords)

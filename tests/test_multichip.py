@@ -3,6 +3,7 @@ coverage the reference never had (its multi-GPU paths were untested
 examples, SURVEY.md §4)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,7 @@ class TestDataParallel:
         assert losses[-1] < losses[0]  # it actually learns
         assert not np.allclose(np.asarray(net.conv.kernel[...]), w_before)
 
+    @pytest.mark.slow
     def test_per_device_geometry_ddp(self):
         """The reference's true DDP regime (examples/multigpu_ddp.py:100-119):
         every device trains on its OWN point cloud.  Checks (a) the pmean'd

@@ -1,0 +1,166 @@
+"""Outlier-tolerant slab decomposition: dropped-pair extraction and the
+XLA correction pass.
+
+The slab conv kernel sizes its window S at a ladder rung that may be
+SMALLER than the max per-(offset, tile) span; valid pairs outside their
+window gather zero inside the kernel and are instead carried in a
+static-capacity COO list applied by ``ops.functional._outlier_apply`` /
+``_outlier_dw``.  These tests prove, on CPU, that
+
+  slab-windowed contributions + outlier corrections == the exact conv
+
+in forward, input-gradient and weight-gradient directions, and that the
+extraction bit-matches the fused outlier counters in ``measure_spans``.
+(The Pallas kernel implements exactly the windowed semantics emulated
+here: local indices outside [0, S) gather a zero row.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minkowskiengine_tpu as ME
+from minkowskiengine_tpu.ops.functional import (
+    _outlier_apply,
+    _outlier_dw,
+    sparse_conv,
+    take_rows,
+)
+from minkowskiengine_tpu.ops.pallas.conv_kernel import (
+    _extract_outliers,
+    build_slab_map_floored,
+    measure_spans,
+    slab_ladder,
+    slab_tile,
+)
+
+
+def surface_kmap(seed=0, n_points=80_000, ks=3):
+    from minkowskiengine_tpu.utils.datasets import room_scan_voxels
+
+    coords, feats = room_scan_voxels(
+        voxel_size=0.05, n_points=n_points, extent=(3.0, 3.0, 2.5), seed=seed
+    )
+    x = ME.SparseTensor(feats, coords)
+    mgr = x.coordinate_manager
+    key = x.coordinate_map_key
+    km = mgr.kernel_map(key, key, kernel_size=ks, stride=1)
+    return x, km
+
+
+def windowed_in_idx(in_idx, slab):
+    """The effective gather map the slab kernel implements: pairs whose
+    slab-local index falls outside [0, S) are dropped (-1)."""
+    idx = np.asarray(in_idx)
+    Kv, C = idx.shape
+    T = slab.tile
+    nt = C // T
+    tiles = idx.reshape(Kv, nt, T)
+    starts = np.asarray(slab.starts)  # (K, nt)
+    local = tiles - starts[:, :, None]
+    keep = (tiles >= 0) & (local >= 0) & (local < slab.slab_size)
+    return np.where(keep, tiles, -1).reshape(Kv, C)
+
+
+class TestOutlierSlabs:
+    def test_extraction_matches_measure_counters(self):
+        x, km = surface_kmap()
+        tile = slab_tile(km.in_idx.shape[1])
+        ladder = slab_ladder(tile)
+        vec = np.asarray(
+            measure_spans(km.in_idx, tile, km.capacity_in, ladder)
+        )
+        assert int(vec[2]) == int((np.asarray(km.in_idx) >= 0).sum())
+        for S, expected in zip(ladder, vec[3:]):
+            src, dst, kk, cnt = _extract_outliers(
+                km.in_idx, km.capacity_in, tile, S, 1 << 16
+            )
+            assert int(cnt) == int(expected)
+            n = int(cnt)
+            src, dst, kk = (np.asarray(a) for a in (src, dst, kk))
+            assert (src[:n] >= 0).all() and (src[n:] == -1).all()
+            # every extracted pair is a real (dropped) match
+            idx = np.asarray(km.in_idx)
+            assert (idx[kk[:n], dst[:n]] == src[:n]).all()
+
+    @pytest.mark.parametrize("S", [320, 512])
+    def test_windowed_plus_correction_is_exact(self, S):
+        x, km = surface_kmap()
+        rng = np.random.RandomState(3)
+        Kv = km.kernel_volume
+        cin, cout = 3, 8
+        W = jnp.asarray(rng.randn(Kv, cin, cout).astype(np.float32)) * 0.1
+        feats = x.padded_features
+
+        fwd = build_slab_map_floored(
+            km.in_idx, km.capacity_in, (S, 256, 16384)
+        )
+        bwd = build_slab_map_floored(
+            km.out_idx_t, km.capacity_out, (S, 256, 16384)
+        )
+        assert fwd.ov_src is not None and int(fwd.ov_count) > 0, (
+            "test requires real outliers; surface cloud should produce them"
+        )
+        assert int(fwd.ov_count) <= fwd.ov_cap
+        assert int(bwd.ov_count) <= bwd.ov_cap
+
+        exact = sparse_conv(feats, W, km.in_idx, km.out_idx_t)
+
+        # forward: windowed gather + correction
+        eff = jnp.asarray(windowed_in_idx(km.in_idx, fwd))
+        windowed = sparse_conv(feats, W, eff, km.out_idx_t)
+        fixed = _outlier_apply(windowed, feats, W, fwd)
+        np.testing.assert_allclose(
+            np.asarray(fixed), np.asarray(exact), rtol=1e-5, atol=1e-5
+        )
+
+        # gradients of the exact path
+        def loss_exact(f, w):
+            o = sparse_conv(f, w, km.in_idx, km.out_idx_t)
+            return jnp.sum(o * cot)
+
+        cot = jnp.asarray(
+            rng.randn(exact.shape[0], cout).astype(np.float32)
+        )
+        d_feats_e, d_w_e = jax.grad(loss_exact, argnums=(0, 1))(feats, W)
+
+        # input gradient: windowed transpose gather + correction on the
+        # bwd slab (source buffer = cotangent, weights transposed)
+        eff_t = jnp.asarray(windowed_in_idx(km.out_idx_t, bwd))
+        w_t = jnp.swapaxes(W, 1, 2)
+        d_feats_w = sparse_conv(cot, w_t, eff_t, eff)
+        d_feats = _outlier_apply(d_feats_w, cot, w_t, bwd)
+        np.testing.assert_allclose(
+            np.asarray(d_feats), np.asarray(d_feats_e), rtol=1e-4, atol=1e-4
+        )
+
+        # weight gradient: windowed dW + correction on the fwd slab
+        def dw_windowed():
+            def step(_, idx_k):
+                gi = take_rows(feats, idx_k)
+                return None, jnp.dot(gi.T, cot)
+
+            _, dw = jax.lax.scan(step, None, eff)
+            return dw
+
+        d_w = _outlier_dw(dw_windowed(), feats, cot, fwd)
+        np.testing.assert_allclose(
+            np.asarray(d_w), np.asarray(d_w_e), rtol=1e-4, atol=1e-4
+        )
+
+    def test_surface_build_picks_small_rung_with_outliers(self):
+        """End-to-end: the manager-built surface kernel map must choose a
+        ladder-rung slab (not a max-span slab) and carry outliers."""
+        x, km = surface_kmap(seed=1)
+        assert km.fwd_slab is not None
+        tile = km.fwd_slab.tile
+        assert km.fwd_slab.slab_size <= slab_ladder(tile)[-1]
+        vec = np.asarray(
+            measure_spans(km.in_idx, tile, km.capacity_in, ())
+        )
+        if int(vec[0]) + 15 > km.fwd_slab.slab_size:
+            # span tail exceeded the rung ⇒ outliers must be present+exact
+            assert km.fwd_slab.ov_src is not None
+            assert 0 < int(km.fwd_slab.ov_count) <= km.fwd_slab.ov_cap

@@ -69,17 +69,28 @@ class TestKernelMapParity:
         np.testing.assert_array_equal(np.asarray(fwd.in_idx), np.asarray(bwd.out_idx_t))
         np.testing.assert_array_equal(np.asarray(fwd.out_idx_t), np.asarray(bwd.in_idx))
 
-    def test_monotone_invariant(self):
-        """Per-offset gather indices are strictly monotone (the slab kernel
-        and sorted-join both rely on this)."""
+    def test_slab_window_invariant(self):
+        """The slab decomposition must cover every valid gather index: for
+        each (offset, tile), all valid in_idx entries lie inside
+        [start, start + S) — this is what the Pallas kernel relies on
+        (replaces the old per-offset monotonicity invariant, which Morton
+        key order deliberately gives up for spatial locality)."""
         mgr = ME.CoordinateManager(D=3)
         coords, _ = rand_tensor(200, 3, 1, seed=7)
         key, _ = mgr.insert_and_map(coords)
         km = mgr.kernel_map(key, key, kernel_size=3, stride=1)
-        in_idx = np.asarray(km.in_idx)
-        for k in range(in_idx.shape[0]):
-            v = in_idx[k][in_idx[k] >= 0]
-            assert (np.diff(v) > 0).all()
+        for idx, slab in ((km.in_idx, km.fwd_slab), (km.out_idx_t, km.bwd_slab)):
+            if slab is None:
+                continue
+            idx = np.asarray(idx)
+            starts = np.asarray(slab.starts)  # (K, nt)
+            S, T = slab.slab_size, slab.tile
+            Kv, C = idx.shape
+            nt = C // T
+            tiles = idx.reshape(Kv, nt, T)
+            valid = tiles >= 0
+            local = tiles - starts[:, :, None]
+            assert ((local >= 0) & (local < S))[valid].all()
 
 
 class Test4D:
@@ -200,6 +211,7 @@ class TestDirectMaxPool:
 
 
 class Test4DMinkUNet:
+    @pytest.mark.slow
     def test_minkunet_4d_spatiotemporal(self):
         """4D spatio-temporal MinkUNet — the reference's headline use case
         (4D Spatio-Temporal ConvNets, CVPR'19)."""

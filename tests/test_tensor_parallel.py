@@ -38,6 +38,7 @@ def _restore_conv_path():
 
 
 class TestTensorParallel:
+    @pytest.mark.slow
     def test_forward_matches_single_device(self):
         c, f = cloud(0)
         x = ME.SparseTensor(f, c)
@@ -78,6 +79,7 @@ class TestTensorParallel:
         apply_tensor_parallelism(net, mesh)
         assert net.kernel[...].sharding.spec == jax.sharding.PartitionSpec()
 
+    @pytest.mark.slow
     def test_training_step_matches_single_device(self):
         import optax
 
@@ -133,6 +135,7 @@ class TestTensorParallel:
                 atol=1e-4,
             )
 
+    @pytest.mark.slow
     def test_2d_mesh_dp_times_tp(self):
         """dp×tp: data sharding composes with column-parallel weights."""
         c, f = cloud(2)
