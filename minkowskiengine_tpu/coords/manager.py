@@ -1031,6 +1031,34 @@ class CoordinateManager:
             self._record("origin_map", key.get_key())
         return origin_key, self._stride_maps[ck]
 
+    def origin_field_map(
+        self, key: CoordinateMapKey
+    ) -> Tuple[CoordinateMapKey, jnp.ndarray]:
+        """``origin_map`` for a FIELD map: (origin_key, (capacity,) int32
+        origin-row per field row, -1 padding).
+
+        Lets global pooling / broadcast consume ``TensorField`` inputs
+        directly, as the reference does (reference:
+        MinkowskiPooling.py:729-737, src/global_pooling_cpu.cpp:72-85,
+        origin_field: src/coordinate_map_manager.cpp:510-550).
+        """
+        origin_key = self.origin_field(key)
+        ck = (key.get_key(), "field", origin_key.get_key())
+        if ck not in self._stride_maps:
+            self._check_not_frozen("an origin field map")
+            fmap = self._get_field_map(key)
+            valid = prefix_mask(fmap.capacity, fmap.size)
+            ocoords = _origin_coords(
+                fmap.coordinates.astype(jnp.int32), valid
+            )
+            # field ops are not replayable (the oplog is sparse-only), so
+            # nothing is recorded here — matching insert_field/origin_field
+            rows = self._find_rows_in(
+                origin_key, ocoords, jnp.int32(fmap.size)
+            )
+            self._stride_maps[ck] = rows
+        return origin_key, self._stride_maps[ck]
+
     def number_of_unique_batch_indices(self, key: CoordinateMapKey) -> int:
         return self._get_map(self.origin(key)).size
 

@@ -231,10 +231,22 @@ class MinkowskiGlobalPooling(MinkowskiModuleBase):
             raise ValueError(f"Mode must be an instance of PoolingMode, got {mode}")
         self.pooling_mode = mode
 
-    def __call__(self, input: SparseTensor, coordinates=None) -> SparseTensor:
-        origin_key, origin_rows = input.coordinate_manager.origin_map(
-            input.coordinate_map_key
-        )
+    def __call__(self, input, coordinates=None) -> SparseTensor:
+        """Pool a SparseTensor — or a TensorField directly, as the
+        reference allows (MinkowskiPooling.py:729-737,
+        src/global_pooling_cpu.cpp:72-85) — to one row per batch item."""
+        from ..tensor_field import TensorField
+
+        if isinstance(input, TensorField):
+            origin_key, origin_rows = (
+                input.coordinate_manager.origin_field_map(
+                    input.coordinate_field_map_key
+                )
+            )
+        else:
+            origin_key, origin_rows = input.coordinate_manager.origin_map(
+                input.coordinate_map_key
+            )
         num = input.coordinate_manager.capacity(origin_key)
         reduction = self._mode_to_reduction[self.pooling_mode]
         pooled, _ = F.global_pool(
