@@ -127,21 +127,22 @@ class KernelMap:
 
 
 @jax.jit
-def _build_queries(in_hi, in_lo, out_coords, n_out, offsets):
-    """Packed probe keys (K, C_out), invalid probes set to the max key.
+def _build_queries(out_coords, n_out, offsets):
+    """Packed probe key lanes (K, C_out), invalid probes set to the max
+    key.
 
     Probe keys along a row are spatially local per tile (output coordinates
-    are in canonical Morton order and an offset is a bounded shift), which
+    are in canonical key order and an offset is a bounded shift), which
     the tile-join lookup and the slab conv kernel exploit; they are NOT
-    sorted (Morton order is not translation-invariant).
+    necessarily sorted.
     """
     C_out = out_coords.shape[0]
     queries = out_coords[None, :, :] + offsets[:, None, :]  # (K, C_out, D+1)
-    q_hi, q_lo = K.pack(queries)
+    q_lanes = K.pack(queries)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < n_out)[None, :]
     invalid = ~valid_out | K.overflow_mask(queries)
-    pad_hi, pad_lo = K.key_max()
-    return jnp.where(invalid, pad_hi, q_hi), jnp.where(invalid, pad_lo, q_lo)
+    pad = K.key_max(len(q_lanes))
+    return tuple(jnp.where(invalid, p, q) for q, p in zip(q_lanes, pad))
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -351,7 +352,7 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
 
 
 def _build_in_idx(
-    in_hi, in_lo, n_in, out_coords, n_out, offsets,
+    in_lanes, n_in, out_coords, n_out, offsets,
     join_slab=None, join_stats=None,
 ):
     """in_idx[k, o] = row of (out_coords[o] + offsets[k]) in the in-map, or -1.
@@ -366,15 +367,13 @@ def _build_in_idx(
     """
     from .lookup import find_rows_sorted, find_rows_sorted_fixed
 
-    q_hi, q_lo = _build_queries(in_hi, in_lo, out_coords, n_out, offsets)
+    q_lanes = _build_queries(out_coords, n_out, offsets)
     if join_slab is not None:
-        rows, ok = find_rows_sorted_fixed(
-            in_hi, in_lo, n_in, q_hi, q_lo, join_slab
-        )
+        rows, ok = find_rows_sorted_fixed(in_lanes, n_in, q_lanes, join_slab)
         if join_stats is not None:
             join_stats["ok"] = ok
     else:
-        rows = find_rows_sorted(in_hi, in_lo, n_in, q_hi, q_lo, join_stats)
+        rows = find_rows_sorted(in_lanes, n_in, q_lanes, join_stats)
     C_out = out_coords.shape[0]
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
     return jnp.where(valid_out, rows, -1)
@@ -433,8 +432,7 @@ def build_kernel_map(
         )
     else:
         in_idx = _build_in_idx(
-            in_map.key_hi,
-            in_map.key_lo,
+            in_map.key_lanes,
             in_map.size_arr,
             out_map.coordinates,
             out_map.size_arr,
@@ -498,13 +496,12 @@ def build_kernel_map(
 
 
 @jax.jit
-def _build_stride_in_to_out(out_hi, out_lo, n_out, in_coords, n_in, stride):
+def _build_stride_in_to_out(out_lanes, n_out, in_coords, n_in, stride):
     """Map each input row to the output row of its strided voxel."""
     batch = in_coords[:, :1]
     spatial = jnp.floor_divide(in_coords[:, 1:], stride) * stride
     queries = jnp.concatenate([batch, spatial], axis=1)
-    q_hi, q_lo = K.pack(queries)
-    rows = find_rows(out_hi, out_lo, n_out, q_hi, q_lo)
+    rows = find_rows(out_lanes, n_out, K.pack(queries))
     valid = jnp.arange(in_coords.shape[0], dtype=jnp.int32) < n_in
     return jnp.where(valid, rows, -1)
 
@@ -539,8 +536,7 @@ def build_stride_map(
             in_map.coordinates, in_map.size_arr, stride,
         )
     return _build_stride_in_to_out(
-        out_map.key_hi,
-        out_map.key_lo,
+        out_map.key_lanes,
         out_map.size_arr,
         in_map.coordinates,
         in_map.size_arr,

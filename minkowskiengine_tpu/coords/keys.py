@@ -1,36 +1,36 @@
-"""Coordinate → 64-bit key packing for the TPU coordinate engine.
+"""Coordinate → packed-key encoding for the TPU coordinate engine.
 
 The reference engine hashes raw ``(batch, x_1..x_D)`` int32 rows with
 MurmurHash3 into CPU/GPU hash tables (reference: src/coordinate.hpp:276-349,
 src/coordinate_map_cpu.hpp:295-300, src/3rdparty/concurrent_unordered_map.cuh).
 Hash tables are a poor fit for XLA's static-shape, vector-parallel model, so
 the TPU-native design instead packs each coordinate row **losslessly** into a
-64-bit key held as two uint32 lanes ``(hi, lo)``:
+W-bit key held as a tuple of uint32 lanes (most-significant lane first):
 
 * packing is injective and defines the engine's **canonical row order**:
   batch index in the most-significant bits (so maps stay batch-major, which
   batch decomposition and origin maps exploit), then the spatial coordinate
-  bits **Morton/Z-order interleaved** — spatially close voxels get close
-  keys, so a run of consecutive map rows is a compact spatial block.  That
-  locality is what keeps the Pallas conv kernel's tile slabs small on
-  *surface* geometry (real room scans), where plain lexicographic order has
-  spans of thousands of rows;
+  bits (lexicographic by default; see ``_ORDER``);
 * uniqueness/lookup become `lax.sort` + vectorized binary search, both of
   which XLA maps efficiently onto the VPU (no serialization, no atomics);
-* two uint32 lanes avoid depending on global ``jax_enable_x64``.
+* uint32 lanes avoid depending on global ``jax_enable_x64``; two lanes
+  (64 bits) cover D <= 6, three lanes (96 bits) cover 7 <= D <= 13 — the
+  multi-word path the reference handles with arbitrary-width row hashing.
 
 Bit budget: the batch index gets ``batch_bits`` and each of the D spatial
-dims gets ``dim_bits`` with ``batch_bits + D*dim_bits <= 64``.  Spatial
-coordinates are signed and biased by ``2**(dim_bits-1)``.  Defaults give
-16-bit coords for D<=3 (range ±32768, far beyond any practical voxel grid)
-and degrade gracefully for higher D (4D spatio-temporal: ±4096).
-Out-of-range coordinates are detected at insert time (see
-``overflow_mask``) and raise on the host rather than corrupting keys.
+dims gets ``dim_bits`` with ``batch_bits + D*dim_bits <= 32*n_lanes``.
+Spatial coordinates are signed and biased by ``2**(dim_bits-1)``.  Defaults
+give 16-bit coords for D<=3 (range ±32768, far beyond any practical voxel
+grid) and degrade gracefully for higher D (4D spatio-temporal: ±4096;
+D=7: ±1024; D=13: ±32).  Out-of-range coordinates are detected at insert
+time (see ``overflow_mask``) and raise on the host rather than corrupting
+keys.
 
 Nothing outside this module may assume WHICH total order the key encodes —
-only that it is a fixed total order with the batch index major.  (The slab
-machinery measures spans; lookups are binary searches or grid probes; the
-tile-join computes per-tile key bounds explicitly.)
+only that it is a fixed total order with the batch index major, exposed as
+a lane tuple compared lexicographically.  (The slab machinery measures
+spans; lookups are binary searches or grid probes; the tile-join computes
+per-tile key bounds explicitly.)
 """
 
 from __future__ import annotations
@@ -61,25 +61,34 @@ _ORDER = _os.environ.get("ME_KEY_ORDER", "lex")
 
 
 @functools.lru_cache(maxsize=None)
+def n_lanes(dimension: int) -> int:
+    """uint32 lanes per key: 2 (64-bit) for D <= 6, 3 (96-bit) above."""
+    return 2 if dimension <= 6 else 3
+
+
+@functools.lru_cache(maxsize=None)
 def bit_allocation(dimension: int) -> Tuple[int, ...]:
     """Per-field bit widths ``(batch_bits, dim_bits * D)`` for D dims.
 
-    Total is always <= 64.  Raises for dimensions that would leave fewer
-    than 8 bits per spatial dim (D > 6); such high-D workloads need the
-    (future) multi-word key path.
+    Total is always <= 32*n_lanes(D).  D <= 6 keeps the historical 64-bit
+    allocations; 7 <= D <= 13 uses the 96-bit three-lane budget.  Raises
+    beyond D=13 (fewer than 6 bits per dim).
     """
     if dimension < 1:
         raise ValueError(f"dimension must be >= 1, got {dimension}")
     if dimension <= 3:
         batch_bits = 16
         dim_bits = 16
-    else:
+    elif dimension <= 6:
         batch_bits = 12
         dim_bits = (64 - batch_bits) // dimension
-    if dim_bits < 8:
+    else:
+        batch_bits = 16
+        dim_bits = (96 - batch_bits) // dimension
+    if dim_bits < 6:
         raise NotImplementedError(
             f"dimension={dimension} leaves only {dim_bits} bits per "
-            "coordinate; >6-D coordinate spaces are not supported yet"
+            "coordinate; coordinate spaces beyond 13-D are not supported"
         )
     return (batch_bits,) + (dim_bits,) * dimension
 
@@ -92,18 +101,6 @@ def field_ranges(dimension: int) -> Tuple[Tuple[int, int], ...]:
         bias = 2 ** (b - 1)
         out.append((-bias, bias - 1))
     return tuple(out)
-
-
-def _field_positions(bits: Sequence[int]) -> Tuple[int, ...]:
-    """LSB bit position of each field inside the 64-bit key (batch is MSB).
-    Lex layout only (top-aligned so unused LOW bits are 0)."""
-    total = sum(bits)
-    pos = []
-    acc = total
-    for b in bits:
-        acc -= b
-        pos.append(acc + (64 - total))
-    return tuple(pos)
 
 
 @functools.lru_cache(maxsize=None)
@@ -137,44 +134,57 @@ def _spread(v: jnp.ndarray, n_bits: int, stride: int) -> jnp.ndarray:
     return v
 
 
-def _or_field(hi, lo, v, pos: int, width: int):
-    """OR a ``width``-bit uint32 field into the (hi, lo) key at bit ``pos``."""
-    if pos >= 32:
-        hi = hi | (v << jnp.uint32(pos - 32))
-    else:
-        lo = lo | (v << jnp.uint32(pos))
-        if width + pos > 32:  # straddles the lane boundary
-            hi = hi | (v >> jnp.uint32(32 - pos))
-    return hi, lo
+def _or_at(lanes: list, v, pos: int, width: int) -> None:
+    """OR a ``width``-bit uint32 field into the lane list at bit ``pos``
+    (positions count from the LSB of the whole W-bit key; lanes[0] is the
+    most significant lane)."""
+    L = len(lanes)
+    for li in range(L):
+        lane_lsb = 32 * (L - 1 - li)
+        if pos + width <= lane_lsb or pos >= lane_lsb + 32:
+            continue
+        if pos >= lane_lsb:
+            lanes[li] = lanes[li] | (v << jnp.uint32(pos - lane_lsb))
+        else:
+            lanes[li] = lanes[li] | (v >> jnp.uint32(lane_lsb - pos))
 
 
-def pack(coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack int32 ``(N, D+1)`` batch-first coordinates into uint32 (hi, lo).
+def pack(coords: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Pack int32 ``(N, D+1)`` batch-first coordinates into a tuple of
+    uint32 lane arrays (most significant first; 2 lanes for D <= 6).
 
-    Canonical (Morton) layout, bottom-aligned: spatial bit ``i`` of dim
-    ``d`` at position ``i*D + (D-1-d)``; the batch field at ``D*b`` and up.
-    Valid keys never reach the all-ones padding sentinel (total bits < 64,
-    or the maximal tuple is rejected by ``overflow_mask`` at exactly 64).
-    Injective over valid ranges.  Traceable / jit-friendly.
+    Canonical layouts (see ``_ORDER``), both with the batch field above
+    all spatial bits.  Valid keys never reach the all-ones padding
+    sentinel (total bits < W, or the maximal tuple is rejected by
+    ``overflow_mask`` at exactly W).  Injective over valid ranges.
+    Traceable / jit-friendly.
     """
     n_fields = coords.shape[-1]
     D = n_fields - 1
     bits = bit_allocation(D)
+    L = n_lanes(D)
+    W = 32 * L
 
-    hi = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
-    lo = jnp.zeros(coords.shape[:-1], dtype=jnp.uint32)
+    lanes = [
+        jnp.zeros(coords.shape[:-1], dtype=jnp.uint32) for _ in range(L)
+    ]
 
     if _ORDER == "lex":
-        positions = _field_positions(bits)
+        # top-aligned: batch at the very top, unused LOW bits stay 0
+        total = sum(bits)
+        pos = total
         for f in range(n_fields):
-            b, p = bits[f], positions[f]
+            b = bits[f]
+            pos -= b
             bias = 0 if f == 0 else 2 ** (b - 1)
             v = (coords[..., f] + bias).astype(jnp.uint32) & jnp.uint32(
                 2**b - 1
             )
-            hi, lo = _or_field(hi, lo, v, p, b)
-        return hi, lo
+            _or_at(lanes, v, pos + (W - total), b)
+        return tuple(lanes)
 
+    # Morton: spatial bit i of dim d at position i*D + (D-1-d) (bottom-
+    # aligned), batch field at D*b and up.
     b = bits[1]  # per-dim spatial bits (uniform by construction)
     for d in range(D):
         p = D - 1 - d  # earlier dims more significant within each group
@@ -182,28 +192,36 @@ def pack(coords: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         v = (coords[..., d + 1] + bias).astype(jnp.uint32) & jnp.uint32(
             2**b - 1
         )
-        # bits landing below the lane boundary: i*D + p < 32
-        n_lo = min(b, (32 - p + D - 1) // D)
-        lo = lo | (_spread(v & jnp.uint32(2**n_lo - 1), n_lo, D) << jnp.uint32(p))
-        if n_lo < b:
-            hi = hi | (
-                _spread(v >> jnp.uint32(n_lo), b - n_lo, D)
-                << jnp.uint32(n_lo * D + p - 32)
+        # split the value into per-lane segments of interleaved bits
+        i0 = 0
+        while i0 < b:
+            lane_lsb = ((i0 * D + p) // 32) * 32
+            # bits i with lane_lsb <= i*D + p < lane_lsb + 32
+            i1 = min(b, (lane_lsb + 32 - p + D - 1) // D)
+            seg = (v >> jnp.uint32(i0)) & jnp.uint32(2 ** (i1 - i0) - 1)
+            _or_at(
+                lanes,
+                _spread(seg, i1 - i0, D),
+                i0 * D + p,
+                (i1 - i0 - 1) * D + 1,
             )
+            i0 = i1
     vb = coords[..., 0].astype(jnp.uint32) & jnp.uint32(2 ** bits[0] - 1)
-    return _or_field(hi, lo, vb, D * b, bits[0])
+    _or_at(lanes, vb, D * b, bits[0])
+    return tuple(lanes)
 
 
 def overflow_mask(coords: jnp.ndarray) -> jnp.ndarray:
     """Boolean ``(N,)`` mask of rows whose fields exceed the bit budget."""
     n_fields = coords.shape[-1]
-    ranges = field_ranges(n_fields - 1)
+    D = n_fields - 1
+    ranges = field_ranges(D)
     bad = jnp.zeros(coords.shape[:-1], dtype=bool)
     for f, (lo_v, hi_v) in enumerate(ranges):
         c = coords[..., f]
         bad = bad | (c < lo_v) | (c > hi_v)
-    if sum(bit_allocation(n_fields - 1)) == 64:
-        # With a full 64-bit budget the single maximal tuple packs to
+    if sum(bit_allocation(D)) == 32 * n_lanes(D):
+        # With a full lane budget the single maximal tuple packs to
         # all-ones == the key_max() padding sentinel; reject it so a real
         # row can never be mistaken for padding.
         is_max = jnp.ones(coords.shape[:-1], dtype=bool)
@@ -213,17 +231,26 @@ def overflow_mask(coords: jnp.ndarray) -> jnp.ndarray:
     return bad
 
 
-def key_max() -> Tuple[np.uint32, np.uint32]:
-    """The padding key — sorts after every valid key (valid keys leave the
-    unused HIGH bits zero when the budget is under 64; at exactly 64 bits
-    the single all-ones tuple is rejected by ``overflow_mask``)."""
-    return UMAX, UMAX
+def key_max(lanes: int = 2) -> Tuple[np.uint32, ...]:
+    """The padding key — sorts after every valid key (valid keys leave
+    headroom below all-ones: unused bits, or the maximal tuple rejected by
+    ``overflow_mask`` at a full budget)."""
+    return (UMAX,) * lanes
 
 
-def key_less(a_hi, a_lo, b_hi, b_lo):
-    """Lexicographic uint64 compare on (hi, lo) lanes."""
-    return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
+def key_less(a, b):
+    """Lexicographic compare of two equal-length lane tuples (a < b)."""
+    if len(a) == 4:  # legacy (a_hi, a_lo, b_hi, b_lo) positional call
+        raise TypeError("key_less now takes two lane tuples")
+    out = a[-1] < b[-1]
+    for al, bl in zip(reversed(a[:-1]), reversed(b[:-1])):
+        out = (al < bl) | ((al == bl) & out)
+    return out
 
 
-def key_equal(a_hi, a_lo, b_hi, b_lo):
-    return (a_hi == b_hi) & (a_lo == b_lo)
+def key_equal(a, b):
+    out = None
+    for al, bl in zip(a, b):
+        eq = al == bl
+        out = eq if out is None else (out & eq)
+    return out

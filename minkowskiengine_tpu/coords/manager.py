@@ -184,10 +184,10 @@ def _region_candidates(coords, offsets, valid, aligned_only, out_tensor_stride):
 
 
 @jax.jit
-def _compact_rows(coords, hi, lo, keep, valid):
+def _compact_rows(coords, lanes, keep, valid):
     """Compact kept rows to the front, preserving (sorted) order.
 
-    Returns compacted (coords, hi, lo, n_kept, in_to_out map).
+    Returns compacted (coords, lanes, n_kept, in_to_out map).
     Reference: ``prune`` (src/coordinate_map_cpu.hpp:519-536).
     """
     C = coords.shape[0]
@@ -195,14 +195,16 @@ def _compact_rows(coords, hi, lo, keep, valid):
     new_idx = jnp.cumsum(keep.astype(jnp.int32)) - 1
     n_kept = jnp.sum(keep.astype(jnp.int32))
     tgt = jnp.where(keep, new_idx, C)
-    pad_hi, pad_lo = K.key_max()
+    pad = K.key_max(len(lanes))
     out_coords = jnp.zeros_like(coords).at[tgt].set(coords, mode="drop")
-    out_hi = jnp.full((C,), pad_hi, jnp.uint32).at[tgt].set(hi, mode="drop")
-    out_lo = jnp.full((C,), pad_lo, jnp.uint32).at[tgt].set(lo, mode="drop")
+    out_lanes = tuple(
+        jnp.full((C,), p, jnp.uint32).at[tgt].set(l, mode="drop")
+        for l, p in zip(lanes, pad)
+    )
     in_to_out = jnp.where(keep, new_idx, -1)
     row = jnp.arange(C, dtype=jnp.int32)
     out_from_in = jnp.full((C,), -1, jnp.int32).at[tgt].set(row, mode="drop")
-    return out_coords, out_hi, out_lo, n_kept, in_to_out, out_from_in
+    return out_coords, out_lanes, n_kept, in_to_out, out_from_in
 
 
 @jax.jit
@@ -397,7 +399,7 @@ class CoordinateManager:
             # mode (ratcheting the floor).
             cap = self._cap_floors[floor_key]
             cmap = CoordinateMap.from_sorted(
-                u_coords, res.sorted_hi, res.sorted_lo, 0,
+                u_coords, res.sorted_lanes, 0,
                 tensor_stride, capacity=cap,
             ).with_size_arr(res.n_unique)
             key = CoordinateMapKey(tensor_stride, sid)
@@ -432,8 +434,7 @@ class CoordinateManager:
         self._cap_floors[floor_key] = cap
         cmap = CoordinateMap.from_sorted(
             u_coords,
-            res.sorted_hi,
-            res.sorted_lo,
+            res.sorted_lanes,
             n_unique,
             tensor_stride,
             capacity=cap,
@@ -664,11 +665,11 @@ class CoordinateManager:
         in_map = self._get_map(key)
         keep = jnp.asarray(keep, bool)
         keep = _pad_rows(keep, in_map.capacity, fill=False)
-        coords, hi, lo, n_kept, in_to_out, out_from_in = _compact_rows(
-            in_map.coordinates, in_map.key_hi, in_map.key_lo, keep, in_map.valid_mask()
+        coords, lanes, n_kept, in_to_out, out_from_in = _compact_rows(
+            in_map.coordinates, in_map.key_lanes, keep, in_map.valid_mask()
         )
         cmap = CoordinateMap.from_sorted(
-            coords, hi, lo, int(n_kept), in_map.tensor_stride
+            coords, lanes, int(n_kept), in_map.tensor_stride
         )
         out_from_in = out_from_in[: cmap.capacity]
         sid = self._unique_string_id(in_map.tensor_stride, "pruned")
@@ -1159,8 +1160,7 @@ class CoordinateManager:
             )
         else:
             rows, weights = _interpolation_map(
-                cmap.key_hi,
-                cmap.key_lo,
+                cmap.key_lanes,
                 jnp.int32(cmap.size),
                 samples,
                 jnp.int32(n),
@@ -1240,9 +1240,7 @@ class CoordinateManager:
             )
             return jnp.where(valid, rows, -1)
         m = self._get_map(key)
-        return find_coordinates(
-            m.key_hi, m.key_lo, m.size_arr, coords, n_valid
-        )
+        return find_coordinates(m.key_lanes, m.size_arr, coords, n_valid)
 
     def _probe_grid_for(self, key: CoordinateMapKey):
         """Grid-probe tuple (row_grid, mins, grid_shape, ts) for a map.
@@ -1847,11 +1845,10 @@ def _interpolation_map_grid(
     return rows.T, w.T  # (N, 2^D)
 
 
-def _interpolation_map(map_hi, map_lo, n_map, samples, n_samples, tensor_stride, corners):
+def _interpolation_map(map_lanes, n_map, samples, n_samples, tensor_stride, corners):
     """Neighbor rows + multilinear weights for interpolation/splat."""
     coords, w = _interp_corner_coords(samples, tensor_stride, corners)
-    q_hi, q_lo = K.pack(coords)
-    rows = find_rows(map_hi, map_lo, n_map, q_hi, q_lo)  # (2^D, N)
+    rows = find_rows(map_lanes, n_map, K.pack(coords))  # (2^D, N)
     valid = (jnp.arange(samples.shape[0], dtype=jnp.int32) < n_samples)[None, :]
     rows = jnp.where(valid, rows, -1)
     w = jnp.where(rows >= 0, w, 0.0)

@@ -41,7 +41,9 @@ class CoordinateMap:
     Attributes:
       coordinates: (C, D+1) int32, batch-first rows in ascending key order;
         rows >= size are zero.
-      key_hi / key_lo: (C,) uint32 packed keys; padding rows hold the max key.
+      key_lanes: tuple of (C,) uint32 packed key lanes (most significant
+        first; 2 lanes for D <= 6, 3 for high-D); padding rows hold the
+        max key.
       size_arr: int32 scalar — valid-row count as a pytree LEAF, so a
         compiled step is reusable across geometries of the same capacity
         bucket and stacked per-device maps can flow as sharded arguments
@@ -51,8 +53,7 @@ class CoordinateMap:
     """
 
     coordinates: jnp.ndarray
-    key_hi: jnp.ndarray
-    key_lo: jnp.ndarray
+    key_lanes: Tuple[jnp.ndarray, ...]
     size_arr: jnp.ndarray
     tensor_stride: Tuple[int, ...]
     _size_host: Optional[int] = dataclasses.field(
@@ -60,6 +61,7 @@ class CoordinateMap:
     )
 
     def __post_init__(self):
+        object.__setattr__(self, "key_lanes", tuple(self.key_lanes))
         if isinstance(self.size_arr, (int, np.integer)):
             object.__setattr__(self, "_size_host", int(self.size_arr))
             object.__setattr__(
@@ -82,6 +84,14 @@ class CoordinateMap:
         return int(self.coordinates.shape[1]) - 1
 
     @property
+    def key_hi(self) -> jnp.ndarray:
+        return self.key_lanes[0]
+
+    @property
+    def key_lo(self) -> jnp.ndarray:
+        return self.key_lanes[1]
+
+    @property
     def batch_indices(self) -> jnp.ndarray:
         return self.coordinates[:, 0]
 
@@ -93,47 +103,48 @@ class CoordinateMap:
         # _size_host deliberately NOT in aux: aux is part of the jit cache
         # key and must be identical across same-bucket geometries.
         return (
-            (self.coordinates, self.key_hi, self.key_lo, self.size_arr),
+            (self.coordinates, self.key_lanes, self.size_arr),
             (self.tensor_stride,),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        coordinates, key_hi, key_lo, size_arr = children
+        coordinates, key_lanes, size_arr = children
         (tensor_stride,) = aux
-        return cls(coordinates, key_hi, key_lo, size_arr, tensor_stride)
+        return cls(coordinates, key_lanes, size_arr, tensor_stride)
 
     # -- construction --------------------------------------------------------
     @classmethod
     def from_sorted(
         cls,
         coordinates: jnp.ndarray,
-        key_hi: jnp.ndarray,
-        key_lo: jnp.ndarray,
+        key_lanes,
         size: int,
         tensor_stride: Tuple[int, ...],
         capacity: Optional[int] = None,
     ) -> "CoordinateMap":
         """Build from already-sorted padded arrays, re-bucketing capacity."""
+        key_lanes = tuple(key_lanes)
         cap = bucket_capacity(size) if capacity is None else capacity
         cur = coordinates.shape[0]
         if cap < cur:
             coordinates = coordinates[:cap]
-            key_hi = key_hi[:cap]
-            key_lo = key_lo[:cap]
+            key_lanes = tuple(l[:cap] for l in key_lanes)
         elif cap > cur:
-            pad_hi, pad_lo = K.key_max()
+            pad = K.key_max(len(key_lanes))
             coordinates = jnp.concatenate(
                 [coordinates, jnp.zeros((cap - cur, coordinates.shape[1]), coordinates.dtype)]
             )
-            key_hi = jnp.concatenate([key_hi, jnp.full((cap - cur,), pad_hi, jnp.uint32)])
-            key_lo = jnp.concatenate([key_lo, jnp.full((cap - cur,), pad_lo, jnp.uint32)])
-        return cls(coordinates, key_hi, key_lo, int(size), tuple(tensor_stride))
+            key_lanes = tuple(
+                jnp.concatenate([l, jnp.full((cap - cur,), p, jnp.uint32)])
+                for l, p in zip(key_lanes, pad)
+            )
+        return cls(coordinates, key_lanes, int(size), tuple(tensor_stride))
 
     def with_size_arr(self, size_arr: jnp.ndarray) -> "CoordinateMap":
         """Same buffers with a device-scalar size (deferred-sync paths)."""
         return CoordinateMap(
-            self.coordinates, self.key_hi, self.key_lo,
+            self.coordinates, self.key_lanes,
             jnp.asarray(size_arr, jnp.int32), self.tensor_stride,
         )
 

@@ -12,23 +12,24 @@ Semantics match the reference contract (src/coordinate_map_cpu.hpp:340-352):
     reconstructed       = unique_coordinates[inverse_map]
     reconstructed == input_coordinates
 
-with one deliberate difference: unique rows come out in **canonical key-sorted
-order** (batch-major, Morton/Z-order spatial) rather than first-occurrence
-order.  The
-reference's own ordering is backend-dependent (CPU: insertion order, GPU:
-hash-table order), so no caller may rely on it; sorted order is deterministic,
-permutation-invariant, and lets every later lookup use binary search.
-``unique_map`` still points at the *first* valid occurrence in the input
-(stable sort guarantees min original row index per key), which
-RANDOM_SUBSAMPLE quantization relies on.
+with one deliberate difference: unique rows come out in **canonical
+key-sorted order** (batch-major; see coords/keys.py) rather than
+first-occurrence order.  The reference's own ordering is backend-dependent
+(CPU: insertion order, GPU: hash-table order), so no caller may rely on it;
+sorted order is deterministic, permutation-invariant, and lets every later
+lookup use binary search.  ``unique_map`` still points at the *first* valid
+occurrence in the input (stable sort guarantees min original row index per
+key), which RANDOM_SUBSAMPLE quantization relies on.
 
-All functions take padded arrays + a validity mask and return padded arrays +
-dynamic counts; shapes depend only on static capacities.
+Keys are tuples of uint32 lanes (2 for D <= 6, 3 for high-D — the
+multi-word path); all functions take padded arrays + a validity mask and
+return padded arrays + dynamic counts; shapes depend only on static
+capacities.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,48 +46,52 @@ class UniqueResult(NamedTuple):
         ``take(..., fill)``).
       inverse_map: (C,) int32 — unique row index for each input row; invalid
         rows map to -1.
-      sorted_hi/sorted_lo: (C,) uint32 — packed keys of the unique rows in
-        ascending order; padding rows hold the max key.
+      sorted_lanes: tuple of (C,) uint32 — packed key lanes of the unique
+        rows in ascending order; padding rows hold the max key.
       n_unique: () int32 — dynamic count of unique rows.
     """
 
     unique_map: jnp.ndarray
     inverse_map: jnp.ndarray
-    sorted_hi: jnp.ndarray
-    sorted_lo: jnp.ndarray
+    sorted_lanes: Tuple[jnp.ndarray, ...]
     n_unique: jnp.ndarray
 
 
 @jax.jit
-def unique_from_keys(
-    hi: jnp.ndarray, lo: jnp.ndarray, valid: jnp.ndarray
-) -> UniqueResult:
-    """Unique + inverse over packed keys.
+def unique_from_keys(lanes, valid: jnp.ndarray) -> UniqueResult:
+    """Unique + inverse over packed key lanes.
 
     Args:
-      hi, lo: (C,) uint32 packed keys (invalid rows may hold garbage).
+      lanes: tuple of (C,) uint32 packed key lanes, most significant first
+        (invalid rows may hold garbage).
       valid: (C,) bool mask of rows participating in the unique.
     """
-    C = hi.shape[0]
+    lanes = tuple(lanes)
+    L = len(lanes)
+    C = lanes[0].shape[0]
     row = jnp.arange(C, dtype=jnp.int32)
-    pad_hi, pad_lo = K.key_max()
-    hi = jnp.where(valid, hi, pad_hi)
-    lo = jnp.where(valid, lo, pad_lo)
+    pad = K.key_max(L)
+    lanes = tuple(jnp.where(valid, l, p) for l, p in zip(lanes, pad))
     invalid_key = (~valid).astype(jnp.uint32)
 
-    # Stable 3-key sort: (hi, lo, invalid).  The third key guarantees valid
-    # rows precede invalid rows even if a real key equals the padding key, so
-    # valid rows always form a prefix; stability makes the first row of each
-    # equal-key run the minimum original index.
-    s_hi, s_lo, s_invalid, s_row = jax.lax.sort(
-        (hi, lo, invalid_key, row), num_keys=3, is_stable=True
+    # Stable (L+1)-key sort: (*lanes, invalid).  The extra key guarantees
+    # valid rows precede invalid rows even if a real key equals the padding
+    # key, so valid rows always form a prefix; stability makes the first
+    # row of each equal-key run the minimum original index.
+    sorted_all = jax.lax.sort(
+        (*lanes, invalid_key, row), num_keys=L + 1, is_stable=True
     )
+    s_lanes, s_row = sorted_all[:L], sorted_all[-1]
 
     n_valid = jnp.sum(valid.astype(jnp.int32))
     s_valid = jnp.arange(C, dtype=jnp.int32) < n_valid
-    prev_hi = jnp.concatenate([s_hi[:1] ^ jnp.uint32(1), s_hi[:-1]])
-    prev_lo = jnp.concatenate([s_lo[:1], s_lo[:-1]])
-    is_new = (~K.key_equal(s_hi, s_lo, prev_hi, prev_lo)) & s_valid
+    prev = tuple(
+        jnp.concatenate(
+            [(l[:1] ^ jnp.uint32(1)) if i == 0 else l[:1], l[:-1]]
+        )
+        for i, l in enumerate(s_lanes)
+    )
+    is_new = (~K.key_equal(s_lanes, prev)) & s_valid
 
     seg_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique slot per sorted row
     n_unique = jnp.sum(is_new.astype(jnp.int32))
@@ -101,10 +106,12 @@ def unique_from_keys(
     unique_map = jnp.full((C,), C, dtype=jnp.int32).at[slot_tgt].set(s_row, mode="drop")
 
     # Sorted unique keys, compacted to the front (padding -> max key).
-    u_hi = jnp.full((C,), pad_hi, dtype=jnp.uint32).at[slot_tgt].set(s_hi, mode="drop")
-    u_lo = jnp.full((C,), pad_lo, dtype=jnp.uint32).at[slot_tgt].set(s_lo, mode="drop")
+    u_lanes = tuple(
+        jnp.full((C,), p, dtype=jnp.uint32).at[slot_tgt].set(l, mode="drop")
+        for l, p in zip(s_lanes, pad)
+    )
 
-    return UniqueResult(unique_map, inverse, u_hi, u_lo, n_unique)
+    return UniqueResult(unique_map, inverse, u_lanes, n_unique)
 
 
 @jax.jit
@@ -117,8 +124,8 @@ def unique_coordinates(coords: jnp.ndarray, valid: jnp.ndarray):
     the unique count (each isolated sync costs ~30 ms through the tunnel);
     it feeds the dense-conv plan.
     """
-    hi, lo = K.pack(coords)
-    res = unique_from_keys(hi, lo, valid)
+    lanes = K.pack(coords)
+    res = unique_from_keys(lanes, valid)
     overflow = jnp.any(K.overflow_mask(coords) & valid)
     u_coords = jnp.take(coords, res.unique_map, axis=0, mode="fill", fill_value=0)
     big = jnp.where(valid[:, None], coords, jnp.int32(2**30))

@@ -33,11 +33,12 @@ def morton_key_ref(c, d):
     batch-major total order requirement the engine relies on."""
     bits = K.bit_allocation(d)
     b = bits[1]
+    W = 32 * K.n_lanes(d)
     if K._ORDER == "lex":
         key = int(c[0])
         for j in range(d):
             key = (key << b) | (int(c[j + 1]) + (1 << (b - 1)))
-        return key << (64 - sum(bits))  # top-aligned lex layout
+        return key << (W - sum(bits))  # top-aligned lex layout
     key = int(c[0]) << (d * b)
     for j in range(d):
         v = int(c[j + 1]) + (1 << (b - 1))
@@ -46,37 +47,39 @@ def morton_key_ref(c, d):
     return key
 
 
+def lanes_to_int(lanes):
+    """(N,) python-int keys from a lane tuple (most significant first)."""
+    out = [0] * len(np.asarray(lanes[0]))
+    for l in lanes:
+        l = np.asarray(l)
+        out = [(o << 32) | int(v) for o, v in zip(out, l)]
+    return out
+
+
 class TestKeys:
     def test_pack_matches_key_reference(self):
-        for d in (1, 2, 3, 4, 5, 6):
-            coords = rand_coords(500, d, lo=-50, hi=50, seed=d)
-            hi, lo = K.pack(jnp.asarray(coords))
-            hi, lo = np.asarray(hi).astype(np.uint64), np.asarray(lo).astype(np.uint64)
-            packed = (hi << np.uint64(32)) | lo
-            expected = np.array(
-                [morton_key_ref(c, d) for c in coords], np.uint64
-            )
-            np.testing.assert_array_equal(packed, expected)
+        for d in (1, 2, 3, 4, 5, 6, 7, 9, 13):
+            lo_hi = 30 if d <= 8 else 14  # stay inside the per-dim budget
+            coords = rand_coords(300, d, lo=-lo_hi, hi=lo_hi, seed=d)
+            packed = lanes_to_int(K.pack(jnp.asarray(coords)))
+            expected = [morton_key_ref(c, d) for c in coords]
+            assert packed == expected, f"d={d}"
 
     def test_pack_order_batch_major(self):
         """Batch index is the major sort field — batch decomposition,
         origin maps and per-batch slicing rely on it."""
-        coords = rand_coords(500, 3, batch=7, lo=-50, hi=50, seed=3)
-        hi, lo = K.pack(jnp.asarray(coords))
-        packed = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
-            lo
-        ).astype(np.uint64)
-        order = np.argsort(packed, kind="stable")
-        assert (np.diff(coords[order][:, 0]) >= 0).all()
+        for d in (3, 7):
+            coords = rand_coords(500, d, batch=7, lo=-14, hi=14, seed=3)
+            packed = lanes_to_int(K.pack(jnp.asarray(coords)))
+            order = sorted(range(len(packed)), key=lambda i: packed[i])
+            assert (np.diff(coords[order][:, 0]) >= 0).all()
 
     def test_pack_injective(self):
-        coords = rand_coords(2000, 3, batch=16, lo=-3, hi=3, seed=1)
-        uniq = np.unique(coords, axis=0)
-        hi, lo = K.pack(jnp.asarray(uniq))
-        packed = (np.asarray(hi).astype(np.uint64) << np.uint64(32)) | np.asarray(
-            lo
-        ).astype(np.uint64)
-        assert len(np.unique(packed)) == len(uniq)
+        for d in (3, 7):
+            coords = rand_coords(2000, d, batch=16, lo=-3, hi=3, seed=1)
+            uniq = np.unique(coords, axis=0)
+            packed = lanes_to_int(K.pack(jnp.asarray(uniq)))
+            assert len(set(packed)) == len(uniq)
 
     def test_overflow_detection(self):
         coords = np.array([[0, 40000, 0, 0]], np.int32)  # > 16-bit budget
@@ -139,8 +142,7 @@ class TestFind:
         qpad[: len(queries)] = queries
         rows = np.asarray(
             find_coordinates(
-                cmap.key_hi,
-                cmap.key_lo,
+                cmap.key_lanes,
                 jnp.int32(cmap.size),
                 jnp.asarray(qpad),
                 jnp.int32(len(queries)),

@@ -86,7 +86,7 @@ class TestGridProbeEquality:
 
         ref = np.asarray(
             _build_in_idx(
-                in_map.key_hi, in_map.key_lo, in_map.size_arr,
+                in_map.key_lanes, in_map.size_arr,
                 out_map.coordinates, out_map.size_arr, jnp.asarray(offs),
             )
         )
@@ -128,7 +128,7 @@ class TestGridProbeEquality:
         )
         ref = np.asarray(
             _build_in_idx(
-                out_map.key_hi, out_map.key_lo, out_map.size_arr,
+                out_map.key_lanes, out_map.size_arr,
                 in_map.coordinates, in_map.size_arr, jnp.asarray(offs),
             )
         )
