@@ -214,44 +214,38 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
     N-D view).  A None entry in cell_offsets marks an offset that is not a
     tensor-stride multiple (it can never match a map row) → all -1.
     Cell indices are relative to the EXTENDED grid (mins - pads·ts).
+
+    Implementation note: the grid is padded by 2×pads — the margin where
+    probe BASES may live (|Δ| outside the bbox) plus those bases' own |Δ|
+    reach — so every shifted copy is ONE statically-in-bounds zero-FLOP
+    ``lax.slice`` of the shared padded buffer, concatenated as ROWS of a
+    (K, cells) array and transposed once.  The shapes of this computation
+    are load-bearing: building columns as per-offset pad/concat CHAINS let
+    XLA materialize + rematerialize each (cells, 1)-shaped column at a
+    128×-padded tile layout inside the big traced fresh-geometry program,
+    exhausting HBM (32 GB at 2% utilization); a fori_loop writing rows of
+    a carried buffer was memory-safe but iteration-overhead-bound
+    (~11 ms for a 125-offset stem map — measured).  Slices of one buffer
+    are trivially rematerializable and fuse into the concat.
     """
     cells = int(np.prod(grid_shape))
     g = row_grid[:cells].reshape(grid_shape)
-    if any(pads):
-        g = jnp.pad(g, [(p, p) for p in pads], constant_values=-1)
+    g2 = jnp.pad(g, [(2 * p, 2 * p) for p in pads], constant_values=-1)
     ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
     cells_ext = int(np.prod(ext_shape))
-    cols = []
+    Kc = len(cell_offsets)
+    rows = []
     for off in cell_offsets:
         if off is None:
-            cols.append(jnp.full((cells_ext,), -1, jnp.int32))
+            rows.append(jnp.full((1, cells_ext), -1, jnp.int32))
             continue
-        s = g
-        for axis, d in enumerate(off):
-            if d == 0:
-                continue
-            n = ext_shape[axis]
-            fill_shape = list(s.shape)
-            fill_shape[axis] = min(abs(d), n)
-            fill = jnp.full(fill_shape, -1, jnp.int32)
-            if abs(d) >= n:
-                s = jnp.broadcast_to(
-                    jnp.full([1] * len(grid_shape), -1, jnp.int32), s.shape
-                )
-                continue
-            if d > 0:  # shifted[c] = g[c + d]
-                s = jnp.concatenate(
-                    [jax.lax.slice_in_dim(s, d, n, axis=axis), fill], axis=axis
-                )
-            else:
-                s = jnp.concatenate(
-                    [fill, jax.lax.slice_in_dim(s, 0, n + d, axis=axis)],
-                    axis=axis,
-                )
-        cols.append(s.reshape(-1))
-    stack = jnp.stack(cols, axis=-1)  # (cells, K)
+        # slice start for offset Δ: pads + Δ ∈ [0, 2·pads] per axis
+        starts = tuple(p + d for p, d in zip(pads, off))
+        limits = tuple(s + n for s, n in zip(starts, ext_shape))
+        rows.append(jax.lax.slice(g2, starts, limits).reshape(1, cells_ext))
+    stack = jnp.transpose(jnp.concatenate(rows, axis=0))  # (cells_ext, K)
     return jnp.concatenate(
-        [stack, jnp.full((1, len(cell_offsets)), -1, jnp.int32)], axis=0
+        [stack, jnp.full((1, Kc), -1, jnp.int32)], axis=0
     )
 
 
@@ -292,9 +286,11 @@ def _cell_offsets_for(offsets, tensor_stride, grid_shape):
 
 
 # per-chunk ceiling on shifted-grid elements (cells × chunk offsets,
-# ~256 MB): large grids process their offsets in chunks; grids too big for
-# even a single-offset chunk fall back to per-element gathers
-_MAX_SHIFT_STACK = 64 * 1024 * 1024
+# ~128 MB): large grids process their offsets in chunks; grids too big for
+# even a single-offset chunk fall back to per-element gathers.  Kept
+# moderate so the per-chunk stack + its transpose stay well under HBM
+# even when the traced replay remats the build.
+_MAX_SHIFT_STACK = 32 * 1024 * 1024
 
 
 def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
@@ -337,6 +333,11 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
         q = out_coords[None, :, :] + jnp.asarray(offsets)[:, None, :]
         rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
         return jnp.where(valid_out, rows, -1)
+    # (A per-row N-D patch-gather variant — one vmapped dynamic_slice of
+    # the offsets' bounding box per output row, no grid-sized temps — was
+    # measured at ~180 ms/map on TPU vs 3.7 ms for the slice-stack below:
+    # vmapped multi-dim dynamic_slice lowers to a serial per-row gather.
+    # Rejected; the 2×pads slice-stack is both memory-safe and fast.)
     pad_units = jnp.asarray(
         [pads[0]] + [p * int(t) for p, t in zip(pads[1:], ts)], jnp.int32
     )
