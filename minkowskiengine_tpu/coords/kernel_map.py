@@ -218,15 +218,28 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
     Implementation note: the grid is padded by 2×pads — the margin where
     probe BASES may live (|Δ| outside the bbox) plus those bases' own |Δ|
     reach — so every shifted copy is ONE statically-in-bounds zero-FLOP
-    ``lax.slice`` of the shared padded buffer, concatenated as ROWS of a
-    (K, cells) array and transposed once.  The shapes of this computation
-    are load-bearing: building columns as per-offset pad/concat CHAINS let
-    XLA materialize + rematerialize each (cells, 1)-shaped column at a
-    128×-padded tile layout inside the big traced fresh-geometry program,
-    exhausting HBM (32 GB at 2% utilization); a fori_loop writing rows of
-    a carried buffer was memory-safe but iteration-overhead-bound
-    (~11 ms for a 125-offset stem map — measured).  Slices of one buffer
-    are trivially rematerializable and fuse into the concat.
+    ``lax.slice`` of the shared padded buffer.  The SHAPES AND LAYOUTS of
+    this computation are load-bearing (two OOM post-mortems):
+
+      * never materialize a (1, cells)- or (cells, 1)-shaped op.  Inside
+        the big traced fresh-geometry program XLA's layout assignment
+        makes the size-1 dim MINOR on such shapes (to legalize the
+        downstream transpose as a bitcast), tile-padding 1 → 128 lanes —
+        a 262 MB temp per offset, ~20 alive under HLO remat = 16 GB HBM
+        for 0.5 GB of data.  Both the per-offset pad/concat-chain column
+        builder and a flat slice + reshape(1, cells) row builder died
+        this way.
+      * a fori_loop writing rows of a carried buffer was memory-safe but
+        iteration-overhead-bound (~11 ms for a 125-offset stem map).
+
+    The safe form: keep every per-offset slice N-D with the K axis
+    LEADING (size-1 dims in the majormost position carry no tile
+    padding), concatenate to (K, *ext), and pin that layout with an
+    ``optimization_barrier`` so layout assignment cannot propagate the
+    transposed (K-minor) layout into the operands.  Only the single
+    post-barrier (cells_ext, K) transpose result pays lane padding
+    (K → 128, ~260 MB transient at 536k cells) — bounded, once per
+    chunk, and cheaply rematerializable.
     """
     cells = int(np.prod(grid_shape))
     g = row_grid[:cells].reshape(grid_shape)
@@ -237,13 +250,15 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
     rows = []
     for off in cell_offsets:
         if off is None:
-            rows.append(jnp.full((1, cells_ext), -1, jnp.int32))
+            rows.append(jnp.full((1,) + ext_shape, -1, jnp.int32))
             continue
         # slice start for offset Δ: pads + Δ ∈ [0, 2·pads] per axis
         starts = tuple(p + d for p, d in zip(pads, off))
         limits = tuple(s + n for s, n in zip(starts, ext_shape))
-        rows.append(jax.lax.slice(g2, starts, limits).reshape(1, cells_ext))
-    stack = jnp.transpose(jnp.concatenate(rows, axis=0))  # (cells_ext, K)
+        rows.append(jax.lax.slice(g2, starts, limits)[None])
+    stack_nd = jnp.concatenate(rows, axis=0)  # (K, *ext) — K majormost
+    stack_nd = jax.lax.optimization_barrier(stack_nd)
+    stack = jnp.transpose(stack_nd.reshape(Kc, cells_ext))  # (cells_ext, K)
     return jnp.concatenate(
         [stack, jnp.full((1, Kc), -1, jnp.int32)], axis=0
     )
@@ -457,19 +472,22 @@ def build_kernel_map(
         measure_spans,
         slab_ladder,
         slab_tile,
+        sub_ladder,
     )
 
     # one fused host sync for both slab spans (tile divides each map's OWN
     # row dimension: in_idx is (K, C_out), out_idx_t is (K, C_in)); the
-    # vector also carries per-ladder-rung outlier counts for the
-    # outlier-tolerant slab sizing
+    # vector also carries per-rung outlier counts (single-tier slab rungs
+    # + the (rung, sub-window) two-tier table) for outlier-tolerant sizing
     f_tile = slab_tile(in_idx.shape[1])
     b_tile = slab_tile(out_idx_t.shape[1])
     fwd_span_dev = measure_spans(
-        in_idx, f_tile, in_map.capacity, slab_ladder(f_tile)
+        in_idx, f_tile, in_map.capacity, slab_ladder(f_tile),
+        sub_ladder(f_tile),
     )
     bwd_span_dev = measure_spans(
-        out_idx_t, b_tile, out_map.capacity, slab_ladder(b_tile)
+        out_idx_t, b_tile, out_map.capacity, slab_ladder(b_tile),
+        sub_ladder(b_tile),
     )
     if defer_slabs:
         # caller batches the span syncs and attaches slabs in a finalize

@@ -932,6 +932,7 @@ class CoordinateManager:
                         kmap.fwd_slab.slab_size,
                         kmap.fwd_slab.extra_rung,
                         kmap.fwd_slab.ov_cap,
+                        kmap.fwd_slab.sub_size or kmap.fwd_slab.slab_size,
                     ),
                 ),
                 merge_slab_floor(
@@ -940,6 +941,7 @@ class CoordinateManager:
                         kmap.bwd_slab.slab_size,
                         kmap.bwd_slab.extra_rung,
                         kmap.bwd_slab.ov_cap,
+                        kmap.bwd_slab.sub_size or kmap.bwd_slab.slab_size,
                     ),
                 ),
             )
@@ -1451,11 +1453,13 @@ class CoordinateManager:
                 self._slab_floors[cache_key] = (
                     merge_slab_floor(
                         None if floor is None else floor[0],
-                        (fwd.slab_size, fwd.extra_rung, fwd.ov_cap),
+                        (fwd.slab_size, fwd.extra_rung, fwd.ov_cap,
+                         fwd.sub_size or fwd.slab_size),
                     ),
                     merge_slab_floor(
                         None if floor is None else floor[1],
-                        (bwd.slab_size, bwd.extra_rung, bwd.ov_cap),
+                        (bwd.slab_size, bwd.extra_rung, bwd.ov_cap,
+                         bwd.sub_size or bwd.slab_size),
                     ),
                 )
         from ..ops.dense_conv import build_dense_plan

@@ -217,7 +217,9 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             self.out_channels,
             map_cached=cached_km is not None,
             cached_slab_size=(
-                cached_km.fwd_slab.slab_size
+                # effective one-hot contraction width: the sub-window rung
+                # when two-tier windows are enabled, else the slab rung
+                (cached_km.fwd_slab.sub_size or cached_km.fwd_slab.slab_size)
                 if cached_km is not None and cached_km.fwd_slab is not None
                 else None
             ),

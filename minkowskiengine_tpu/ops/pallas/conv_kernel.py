@@ -48,6 +48,26 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 256
 MAX_W_VMEM_BYTES = 8 * 1024 * 1024
 
+# Two-tier windows: each T-row output tile is split into T/SUB_TILE
+# sub-tiles whose one-hot gathers contract over a NARROW window (the
+# sub-window, width S' = SlabMap.sub_size) of the DMA'd slab instead of
+# the whole slab.  The one-hot gather-as-matmul burns 2·T·S·Cin FLOPs per
+# (offset, tile) vs 2·T·Cin·Cout useful GEMM — at S=320..512 and
+# Cout<=128 the gather tax is 2.5-4x the useful work.  Sub-tile index
+# spans are ~S·(SUB_TILE/T) + jitter (measured: p99 87 rows at T'=64 on a
+# uniform 26k cloud with S=320; p99 228 on a surface scan with S=512), so
+# S'=128..192 covers all but ~1% of pairs; the remainder rides the
+# existing outlier-correction list.  DMA shape is unchanged — only the
+# MXU contraction narrows.
+SUB_TILE = 64
+
+
+def sub_ladder(tile: int = DEFAULT_TILE) -> tuple:
+    """Static sub-window quantization rungs (every new S' is a fresh
+    Mosaic compile; outlier counts for each (S, S') combo are measured in
+    one fused pass by ``measure_spans``)."""
+    return (96, 128, 160, 192, 256)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +109,13 @@ class SlabMap:
         slab kernel ~6× faster than max-sized slabs.
       ov_count: optional () int32 device count of true outliers (validity:
         exact iff ov_count <= P; checked by traced_ok / the sync builder).
+      sub_size / sub_rel: two-tier windows (0 / None ⇒ single tier).
+        ``sub_rel`` is (K·J, nt) int32 (J = T/SUB_TILE, row k·J + j):
+        16-aligned per-(offset, tile, sub-tile) window offsets RELATIVE to
+        the (offset, tile) slab start, clamped to [0, S - S'].  When enabled,
+        ``local_tk`` holds indices relative to the SUB-window (S' ⇒ zero
+        row) and the kernels contract (SUB_TILE, S') one-hots instead of
+        (T, S) — the dominant gather-FLOP tax shrinks by S/S'.
     """
 
     starts: jnp.ndarray
@@ -103,6 +130,8 @@ class SlabMap:
     ov_dst: Optional[jnp.ndarray] = None
     ov_k: Optional[jnp.ndarray] = None
     ov_count: Optional[jnp.ndarray] = None
+    sub_size: int = 0
+    sub_rel: Optional[jnp.ndarray] = None
 
     @property
     def ov_cap(self) -> int:
@@ -120,20 +149,23 @@ class SlabMap:
             self.ov_dst,
             self.ov_k,
             self.ov_count,
+            self.sub_rel,
         ), (
             self.slab_size,
             self.union_size,
             self.tile,
             self.capacity_in,
+            self.sub_size,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        starts, local_tk, u_starts, ov_src, ov_dst, ov_k, ov_count = children
-        slab_size, union_size, tile, capacity_in = aux
+        (starts, local_tk, u_starts, ov_src, ov_dst, ov_k, ov_count,
+         sub_rel) = children
+        slab_size, union_size, tile, capacity_in, sub_size = aux
         return cls(
             starts, local_tk, u_starts, slab_size, union_size, 0, tile,
-            capacity_in, ov_src, ov_dst, ov_k, ov_count,
+            capacity_in, ov_src, ov_dst, ov_k, ov_count, sub_size, sub_rel,
         )
 
 
@@ -167,9 +199,32 @@ def _slab_starts(idx, valid, cap_in, slab_size):
     return jnp.clip(start, 0, max(cap_in - slab_size, 0))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
-    """Compute (starts, local_tk, u_starts) for static slab/union sizes."""
+def _sub_rel_for(idx, valid, start, slab_size, sub_size, tile):
+    """(K, nt, J) 16-aligned sub-window offsets relative to the slab start
+    — the ONE place the sub-window rule lives (metadata, outlier
+    extraction and span measurement must agree bit-for-bit).  Windows are
+    clamped inside the slab: [rel, rel + S') ⊆ [0, S)."""
+    K, nt, T = idx.shape
+    J = T // SUB_TILE
+    sub = idx.reshape(K, nt, J, SUB_TILE)
+    subv = valid.reshape(K, nt, J, SUB_TILE)
+    smin = jnp.min(jnp.where(subv, sub, jnp.int32(2**30)), axis=-1)
+    smin = jnp.where(smin == 2**30, start[:, :, None], smin)
+    rel = (smin // 16) * 16 - start[:, :, None]
+    return jnp.clip(rel, 0, max(slab_size - sub_size, 0)).astype(jnp.int32)
+
+
+def _sub_enabled(sub_size, slab_size, tile):
+    return 0 < sub_size < slab_size and tile % SUB_TILE == 0
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0,
+                   sub_size=0):
+    """Compute (starts, local_tk, u_starts, sub_rel) for static sizes.
+    With ``sub_size`` enabled, local indices are relative to the
+    per-sub-tile window (sentinel S' ⇒ zero row) and sub_rel is
+    (K, nt·J); otherwise they are slab-relative and sub_rel is None."""
     K, Co = in_idx.shape
     nt = Co // tile
     idx = in_idx.reshape(K, nt, tile)
@@ -177,22 +232,55 @@ def _slab_metadata(in_idx, cap_in, tile, slab_size, union_size=0):
     start = _slab_starts(idx, valid, cap_in, slab_size)
     u = jnp.min(start, axis=0)
     u = jnp.clip(u, 0, max(cap_in - union_size, 0))
-    local = jnp.where(valid, idx - start[:, :, None], slab_size)
-    # anything that still falls outside [0, S) gathers zero (the dropped
-    # pairs are exactly the outlier list — see _extract_outliers)
-    local = jnp.where((local < 0) | (local > slab_size), slab_size, local)
+    local = idx - start[:, :, None]
+    sub_rel = None
+    if _sub_enabled(sub_size, slab_size, tile):
+        rel = _sub_rel_for(idx, valid, start, slab_size, sub_size, tile)
+        J = tile // SUB_TILE
+        l4 = local.reshape(K, nt, J, SUB_TILE) - rel[..., None]
+        l4 = jnp.where(
+            valid.reshape(K, nt, J, SUB_TILE)
+            & (l4 >= 0) & (l4 < sub_size),
+            l4, sub_size,
+        )
+        # (nt, K·J, SUB_TILE): each sub-tile's indices are a full ROW —
+        # Mosaic cannot lane-slice a (1, T) vector at offset j·SUB_TILE
+        # ("dynamic load with unaligned indices"), so sub-tiles must live
+        # on the sublane dim
+        local = jnp.transpose(
+            l4.reshape(K, nt, J, SUB_TILE), (1, 0, 2, 3)
+        ).reshape(nt, K * J, SUB_TILE).astype(jnp.int32)
+        # (K·J, nt): row k·J + j — appended below the starts block in the
+        # kernels' scalar-prefetch array
+        sub_rel = (
+            jnp.transpose(rel, (0, 2, 1)).reshape(K * J, nt).astype(jnp.int32)
+        )
+        return (
+            start.astype(jnp.int32),
+            local,
+            u.astype(jnp.int32),
+            sub_rel,
+        )
+    else:
+        # anything that falls outside [0, S) gathers zero (the dropped
+        # pairs are exactly the outlier list — see _extract_outliers)
+        local = jnp.where(
+            valid & (local >= 0) & (local < slab_size), local, slab_size
+        )
     local = local.astype(jnp.int32)
     return (
         start.astype(jnp.int32),
         jnp.transpose(local, (1, 0, 2)),
         u.astype(jnp.int32),
+        sub_rel,
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _extract_outliers(in_idx, cap_in, tile, slab_size, cap):
-    """Compact the valid pairs whose slab-local index falls outside
-    [0, slab_size) into (src, dst, k) lists of static capacity ``cap``.
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _extract_outliers(in_idx, cap_in, tile, slab_size, cap, sub_size=0):
+    """Compact the valid pairs whose (sub-)window-local index falls
+    outside the window into (src, dst, k) lists of static capacity
+    ``cap``.
 
     Returns (ov_src, ov_dst, ov_k, count); padding entries are -1.  Exact
     iff count <= cap (extras beyond capacity are silently truncated — the
@@ -204,7 +292,16 @@ def _extract_outliers(in_idx, cap_in, tile, slab_size, cap):
     valid = idx >= 0
     start = _slab_starts(idx, valid, cap_in, slab_size)
     local = idx - start[:, :, None]
-    out_mask = valid & ((local < 0) | (local >= slab_size))  # (K, nt, tile)
+    if _sub_enabled(sub_size, slab_size, tile):
+        J = tile // SUB_TILE
+        rel = _sub_rel_for(idx, valid, start, slab_size, sub_size, tile)
+        l4 = local.reshape(K, nt, J, SUB_TILE) - rel[..., None]
+        out_mask = (
+            valid.reshape(K, nt, J, SUB_TILE)
+            & ((l4 < 0) | (l4 >= sub_size))
+        ).reshape(K, nt, tile)
+    else:
+        out_mask = valid & ((local < 0) | (local >= slab_size))
     flat_mask = out_mask.reshape(-1)
     pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
     tgt = jnp.where(flat_mask, pos, cap)  # cap ⇒ dropped
@@ -234,20 +331,25 @@ def slab_ladder(tile: int) -> tuple:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def measure_spans(
-    in_idx: jnp.ndarray, tile: int, cap_in: int = 0, ladder: tuple = ()
+    in_idx: jnp.ndarray, tile: int, cap_in: int = 0, ladder: tuple = (),
+    subs: tuple = (),
 ) -> jnp.ndarray:
-    """(3 + len(ladder),) int32 device vector
-    ``[max span, max union extra, total valid pairs, outliers@rung...]`` —
-    no sync here so callers can fuse several measurements into one host
-    round trip.  With an empty ladder only the first three land.
+    """(3 + len(ladder)·(1 + len(subs)),) int32 device vector
+    ``[max span, max union extra, total valid pairs, outliers@rung...,
+    two-tier outliers@(rung, sub)...]`` — no sync here so callers can
+    fuse several measurements into one host round trip.  With an empty
+    ladder only the first three land.
 
     ``union extra`` = spread of the per-offset slab starts within a tile;
     the per-tile union slab needs ``extra + span (+16 alignment)`` rows.
     ``outliers@rung`` = valid pairs whose slab-local index would fall
     outside a window of that ladder size (bit-matched to
-    ``_extract_outliers`` — same aligned-start rule).
+    ``_extract_outliers`` — same aligned-start rule).  The two-tier block
+    is row-major over (ladder, subs): pairs outside their per-sub-tile
+    window of width S' within a slab of rung S (combos with S' >= S
+    repeat the single-tier count — the sub window would escape the slab).
     """
     K, Co = in_idx.shape
     idx = in_idx.reshape(K, -1, tile)
@@ -268,11 +370,27 @@ def measure_spans(
     extra = jnp.where(tmax >= 0, tmax - jnp.minimum(tmin, tmax), 0)
     total = jnp.sum(valid.astype(jnp.int32))
     out = [span, jnp.max(extra), total]
+    singles = []
     for S in ladder:
         st = _slab_starts(idx, valid, cap_in, S)
         local = idx - st[:, :, None]
         miss = valid & ((local < 0) | (local >= S))
-        out.append(jnp.sum(miss.astype(jnp.int32)))
+        singles.append(jnp.sum(miss.astype(jnp.int32)))
+    out.extend(singles)
+    for S, single in zip(ladder, singles):
+        st = _slab_starts(idx, valid, cap_in, S)
+        local = idx - st[:, :, None]
+        for Sp in subs:
+            if not _sub_enabled(Sp, S, tile):
+                out.append(single)
+                continue
+            J = tile // SUB_TILE
+            rel = _sub_rel_for(idx, valid, st, S, Sp, tile)
+            l4 = local.reshape(K, -1, J, SUB_TILE) - rel[..., None]
+            miss = valid.reshape(K, -1, J, SUB_TILE) & (
+                (l4 < 0) | (l4 >= Sp)
+            )
+            out.append(jnp.sum(miss.astype(jnp.int32)))
     return jnp.stack(out)
 
 
@@ -296,26 +414,37 @@ def _union_rung(needed: int, capacity_in: int) -> int:
     return u
 
 
-def _floor3(f):
-    """Normalize a slab floor to (S, E, P) — legacy (S, E) floors get P=0."""
+def _floor4(f):
+    """Normalize a slab floor to (S, E, P, S2) — legacy (S, E) floors get
+    P=0; legacy floors without a sub-window component get S2=S (single
+    tier: a sub window as wide as the slab IS the slab window)."""
     if f is None:
         return None
-    return (int(f[0]), int(f[1]), int(f[2]) if len(f) > 2 else 0)
+    S = int(f[0])
+    return (
+        S,
+        int(f[1]),
+        int(f[2]) if len(f) > 2 else 0,
+        int(f[3]) if len(f) > 3 else S,
+    )
 
 
 def merge_slab_floor(prev, new):
-    """Ratchet-merge two (S, E, P) floors (slab rung, union-extra rung,
-    outlier capacity).
+    """Ratchet-merge two (S, E, P, S2) floors (slab rung, union-extra
+    rung, outlier capacity, sub-window rung).
 
-    All components are max-monotone; the union size U is DERIVED from
-    (S, E) at build time (``_union_rung(E + S + 16)``), which keeps U
-    consistent when S and E ratchet on different clouds, and makes
-    union-disable (U would exceed the budget) sticky automatically —
-    E only grows."""
-    new = _floor3(new)
+    All components are max-monotone (a WIDER sub window is always safer —
+    a width-W sub window covers at least what a width-W slab window
+    covers, since the per-sub-tile start is >= the slab start and <= its
+    own minimum valid index); the union size U is DERIVED from (S, E) at
+    build time (``_union_rung(E + S + 16)``), which keeps U consistent
+    when S and E ratchet on different clouds, and makes union-disable
+    (U would exceed the budget) sticky automatically — E only grows.
+    Sub-tiling disables itself when the ratcheted S2 reaches S."""
+    new = _floor4(new)
     if prev is None:
         return new
-    prev = _floor3(prev)
+    prev = _floor4(prev)
     return tuple(max(a, b) for a, b in zip(prev, new))
 
 
@@ -353,39 +482,45 @@ def build_slab_map_from_span(
 ) -> Optional[SlabMap]:
     """Slab decomposition given host-known span measurements.
 
-    ``min_slab`` is an optional (S, E, P) shape-stability floor (slab rung,
-    union-extra rung, outlier capacity; ratcheted by the geometry
-    replayer): reusing the largest rungs seen so far keeps the kernel
-    shape — and therefore the compiled step — stable across geometry
-    jitter.  ``union_extra`` is the measured per-tile spread of the slab
-    starts (measure_spans[1]); the per-tile union slab needs
-    ``extra + S + 16`` rows.  ``outlier_counts`` (host ints, one per
-    ``slab_ladder(tile)`` rung, measure_spans[3:]) unlock outlier-tolerant
-    sizing: pick the smallest rung whose dropped-pair count fits the
-    budget and carry those pairs in the correction list instead of
-    inflating S to the span max.
+    ``min_slab`` is an optional (S, E, P, S2) shape-stability floor (slab
+    rung, union-extra rung, outlier capacity, sub-window rung; ratcheted
+    by the geometry replayer): reusing the largest rungs seen so far
+    keeps the kernel shape — and therefore the compiled step — stable
+    across geometry jitter.  ``union_extra`` is the measured per-tile
+    spread of the slab starts (measure_spans[1]); the per-tile union slab
+    needs ``extra + S + 16`` rows.  ``outlier_counts`` (host ints,
+    measure_spans[3:]: one per ``slab_ladder(tile)`` rung, then the
+    row-major (rung, sub_ladder) two-tier table) unlock outlier-tolerant
+    sizing: pick the smallest slab rung whose dropped-pair count fits the
+    budget — then the smallest SUB-window rung whose two-tier count also
+    fits, carrying the dropped pairs in the correction list instead of
+    inflating the one-hot contraction width.
     """
     K, Co = in_idx.shape
     tile = min(tile, Co)
     if Co % tile != 0:
         return None
-    min_slab = _floor3(min_slab)
+    min_slab = _floor4(min_slab)
     # Shape stability vs DMA slack: a new slab size is a new kernel shape
     # and a multi-second AOT recompile through the TPU tunnel, but slack is
     # wasted bandwidth.  Quantize to a short ladder of sizes (fractions of
     # the tile) — geometry jitter rarely crosses a rung.
     needed = max_span + 15
+    ladder = slab_ladder(tile)
+    subs = sub_ladder(tile)
     slab = None
+    i_pick = None
     ov_needed = 0
+    budget = _outlier_budget(total_pairs)
     if outlier_counts is not None:
-        budget = _outlier_budget(total_pairs)
-        for cand, cnt in zip(slab_ladder(tile), outlier_counts):
+        for i, (cand, cnt) in enumerate(zip(ladder, outlier_counts)):
             if int(cnt) <= budget:
                 slab = cand
+                i_pick = i
                 ov_needed = int(cnt)
                 break
     if slab is None:
-        for cand in slab_ladder(tile):
+        for cand in ladder:
             if needed <= cand:
                 slab = cand
                 break
@@ -395,22 +530,48 @@ def build_slab_map_from_span(
         slab = max(slab, int(min_slab[0]))
     if slab > capacity_in:
         slab = capacity_in
+    # Two-tier sub-window pick: smallest rung whose two-tier outlier
+    # count fits the same budget.  Counts are measured at the LADDER rung
+    # (i_pick); a floor-raised slab only relaxes the window clamp, so the
+    # measured count stays a valid upper bound.
+    sub = 0
+    tbl = (
+        None
+        if (outlier_counts is None
+            or len(outlier_counts) < len(ladder) * (1 + len(subs)))
+        else outlier_counts[len(ladder):]
+    )
+    if i_pick is not None and tbl is not None and tile % SUB_TILE == 0:
+        for j, sp in enumerate(subs):
+            cnt2 = int(tbl[i_pick * len(subs) + j])
+            if sp < slab and cnt2 <= budget:
+                sub = sp
+                ov_needed = cnt2
+                break
+    sub_choice = sub if sub else slab  # disabled encodes as S
+    if min_slab is not None:
+        sub_choice = max(sub_choice, int(min_slab[3]))
+    sub = sub_choice if _sub_enabled(sub_choice, slab, tile) else 0
     extra_rung = _round_up(max(int(union_extra), 1), 256)
     if min_slab is not None:
         extra_rung = max(extra_rung, int(min_slab[1]))
     union = _union_rung(extra_rung + slab + 16, capacity_in)
-    starts, local_tk, u_starts = _slab_metadata(
-        in_idx, capacity_in, tile, slab, union
+    starts, local_tk, u_starts, sub_rel = _slab_metadata(
+        in_idx, capacity_in, tile, slab, union, sub
     )
     ov_cap = _ov_rung(ov_needed)
+    if sub:
+        # sub windows can drop pairs even when the slab covers everything;
+        # validity (ov_count <= ov_cap) must always be checkable
+        ov_cap = max(ov_cap, _MIN_OV_CAP)
     if min_slab is not None:
         ov_cap = max(ov_cap, int(min_slab[2]))
     ov = (None, None, None, None)
-    if ov_cap and slab < capacity_in:
-        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap)
+    if ov_cap and (sub or slab < capacity_in):
+        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap, sub)
     return SlabMap(
         starts, local_tk, u_starts, slab, union, extra_rung, tile,
-        capacity_in, *ov,
+        capacity_in, *ov, sub, sub_rel,
     )
 
 
@@ -420,30 +581,33 @@ def build_slab_map_floored(
     floor,
     tile: int = DEFAULT_TILE,
 ) -> Optional[SlabMap]:
-    """Slab decomposition at a KNOWN (ratcheted) (S, E, P) floor — fully
-    traceable: no host span fetch.  Used by the traced replay, which checks
-    the floors separately (``span + 15 <= S`` when P == 0, else
+    """Slab decomposition at a KNOWN (ratcheted) (S, E, P, S2) floor —
+    fully traceable: no host span fetch.  Used by the traced replay, which
+    checks the floors separately (``span + 15 <= S`` when P == 0, else
     ``ov_count <= P``; and ``extra + S + 16 <= U``) and falls back to the
     sync path when a floor is violated."""
     K, Co = in_idx.shape
     tile = min(tile, Co)
-    floor = _floor3((floor, 0) if isinstance(floor, int) else floor)
-    slab, extra_rung, ov_cap = floor
+    floor = _floor4((floor, 0) if isinstance(floor, int) else floor)
+    slab, extra_rung, ov_cap, sub = floor
     if Co % tile != 0 or slab <= 0:
         return None
     slab = min(int(slab), capacity_in)
+    sub = sub if _sub_enabled(sub, slab, tile) else 0
     union = (
         _union_rung(extra_rung + slab + 16, capacity_in) if extra_rung else 0
     )
-    starts, local_tk, u_starts = _slab_metadata(
-        in_idx, capacity_in, tile, slab, union
+    starts, local_tk, u_starts, sub_rel = _slab_metadata(
+        in_idx, capacity_in, tile, slab, union, sub
     )
+    if sub:
+        ov_cap = max(ov_cap, _MIN_OV_CAP)
     ov = (None, None, None, None)
-    if ov_cap and slab < capacity_in:
-        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap)
+    if ov_cap and (sub or slab < capacity_in):
+        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap, sub)
     return SlabMap(
         starts, local_tk, u_starts, slab, union, extra_rung, tile,
-        capacity_in, *ov,
+        capacity_in, *ov, sub, sub_rel,
     )
 
 
@@ -467,8 +631,27 @@ def _onehot_gather(local_row, slab, slab_size, dtype):
 # ---------------------------------------------------------------------------
 
 
+def _sub_gathered(local_ref, k, t, starts_ref, sub_base, window_of,
+                  sub_size, T, dtype):
+    """(T, Cin) gathered rows for offset ``k`` via per-sub-tile narrow
+    one-hots: sub-tile j contracts a (SUB_TILE, S') one-hot against the
+    S'-row window at ``window_of(sub_rel)`` instead of (T, S) against the
+    whole slab — the gather-as-matmul FLOP tax shrinks by S/S'.
+    ``local_ref`` is the (1, K·J, SUB_TILE) sub-tiled index block (each
+    sub-tile a full sublane row — Mosaic cannot lane-slice at offset
+    j·SUB_TILE); ``sub_base``: row offset of the sub_rel block in the
+    prefetch array (rows ordered (k, j))."""
+    J = T // SUB_TILE
+    parts = []
+    for j in range(J):
+        li = local_ref[0, pl.ds(k * J + j, 1), :]  # (1, SUB_TILE)
+        rel = pl.multiple_of(starts_ref[sub_base + k * J + j, t], 16)
+        parts.append(_onehot_gather(li, window_of(rel), sub_size, dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _conv_fwd_kernel(
-    starts_ref,  # (K, nt) SMEM (scalar prefetch)
+    starts_ref,  # (K (+K·J), nt) SMEM (scalar prefetch; sub_rel rows after)
     local_ref,  # (1, K, T) VMEM — this tile's local indices
     w_ref,  # (K, Cin, Cout) VMEM — all weights, resident
     feats_hbm,  # (Ci, Cin) ANY/HBM
@@ -479,6 +662,7 @@ def _conv_fwd_kernel(
     slab_size: int,
     num_k: int,
     num_t: int,
+    sub_size: int = 0,
 ):
     """One grid step = one output tile; kernel offsets run in an inner loop
     (27× fewer grid steps than a (tiles, offsets) grid — grid-step overhead
@@ -498,7 +682,7 @@ def _conv_fwd_kernel(
     for j in range(min(n_buf, num_k)):  # prologue: fill the ring
         slab_copy(j, j).start()
 
-    T = local_ref.shape[-1]
+    T = out_ref.shape[0]
     cout = out_ref.shape[-1]
 
     # NOTE: reordering the contraction as (slab @ W) then gather looks
@@ -507,11 +691,20 @@ def _conv_fwd_kernel(
     # extra dependency lengthens the critical path.  Keep gather-then-W.
     def one(k, acc):
         slot = jax.lax.rem(k, n_buf)
-        li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
         w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
 
         slab_copy(k, slot).wait()
-        gathered = _onehot_gather(li, slab_ref[slot], slab_size, w_ref.dtype)
+        if sub_size:
+            gathered = _sub_gathered(
+                local_ref, k, t, starts_ref, num_k,
+                lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
+                sub_size, T, w_ref.dtype,
+            )
+        else:
+            li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
+            gathered = _onehot_gather(
+                li, slab_ref[slot], slab_size, w_ref.dtype
+            )
         acc = acc + jnp.dot(gathered, w_k, preferred_element_type=jnp.float32)
 
         @pl.when(k + n_buf < num_k)  # refill the slot we just consumed
@@ -537,7 +730,7 @@ def _conv_fwd_kernel(
 
 
 def _conv_fwd_kernel_union(
-    starts_ref,  # (K+1, nt) SMEM — row K holds the per-tile union starts
+    starts_ref,  # (K+1 (+K·J), nt) SMEM — row K = per-tile union starts
     local_ref,  # (1, K, T) VMEM — this tile's local indices
     w_ref,  # (K, Cin, Cout) VMEM — all weights, resident
     feats_hbm,  # (Ci, Cin) ANY/HBM
@@ -549,6 +742,7 @@ def _conv_fwd_kernel_union(
     union_size: int,
     num_k: int,
     num_t: int,
+    sub_size: int = 0,
 ):
     """Union-slab forward: ONE DMA per output tile (feats[u : u+U]) serves
     all K offsets — their per-offset slabs overlap almost entirely, so the
@@ -578,16 +772,25 @@ def _conv_fwd_kernel_union(
 
     tile_copy(t, slot).wait()
 
-    T = local_ref.shape[-1]
+    T = out_ref.shape[0]
     cout = out_ref.shape[-1]
     u_t = starts_ref[num_k, t]
 
     def one(k, acc):
-        li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
         w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
         rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
-        window = slab_ref[slot, pl.ds(rel, slab_size), :]
-        gathered = _onehot_gather(li, window, slab_size, w_ref.dtype)
+        if sub_size:
+            gathered = _sub_gathered(
+                local_ref, k, t, starts_ref, num_k + 1,
+                lambda sr: slab_ref[
+                    slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
+                ],
+                sub_size, T, w_ref.dtype,
+            )
+        else:
+            li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
+            window = slab_ref[slot, pl.ds(rel, slab_size), :]
+            gathered = _onehot_gather(li, window, slab_size, w_ref.dtype)
         return acc + jnp.dot(gathered, w_k, preferred_element_type=jnp.float32)
 
     unroll = 3 if num_k % 3 == 0 else 1
@@ -625,11 +828,15 @@ def _union_enabled(slab_map: SlabMap, cin_padded: int, itemsize: int) -> bool:
     )
 
 
-def _starts_with_union(slab_map: SlabMap) -> jnp.ndarray:
-    """(K+1, nt) scalar-prefetch block: per-offset starts + union starts."""
-    return jnp.concatenate(
-        [slab_map.starts, slab_map.u_starts[None, :]], axis=0
-    )
+def _prefetch_rows(slab_map: SlabMap, with_union: bool) -> jnp.ndarray:
+    """Scalar-prefetch block: per-offset starts (+ union starts row)
+    (+ the (K·J, nt) sub_rel block when two-tier windows are enabled)."""
+    rows = [slab_map.starts]
+    if with_union:
+        rows.append(slab_map.u_starts[None, :])
+    if slab_map.sub_size and slab_map.sub_rel is not None:
+        rows.append(slab_map.sub_rel)
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
 
 def sparse_conv_fwd_pallas(
@@ -640,12 +847,16 @@ def sparse_conv_fwd_pallas(
     """Forward sparse conv via the slab kernel.  Returns (Co, Cout)."""
     feats = _pad_lanes(feats, 1)
     weights = _pad_lanes(weights, 1).astype(feats.dtype)
-    nt, K, T = slab_map.local_tk.shape
+    # local_tk is (nt, K, T) single-tier, (nt, K·J, SUB_TILE) two-tier
+    nt, lrows, llanes = slab_map.local_tk.shape
+    K = weights.shape[0]
+    T = slab_map.tile
     S = slab_map.slab_size
     Ci, Cin = feats.shape
     Cout = weights.shape[-1]
     Co = nt * T
 
+    sub = slab_map.sub_size if slab_map.sub_rel is not None else 0
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
     if use_union:
         U = slab_map.union_size
@@ -655,9 +866,8 @@ def sparse_conv_fwd_pallas(
         ]
         kernel = functools.partial(
             _conv_fwd_kernel_union,
-            slab_size=S, union_size=U, num_k=K, num_t=nt,
+            slab_size=S, union_size=U, num_k=K, num_t=nt, sub_size=sub,
         )
-        prefetch = _starts_with_union(slab_map)
         dma_bytes = nt * U * Cin * feats.dtype.itemsize
     else:
         n_buf = _ring_depth(S, Cin, K)
@@ -666,17 +876,18 @@ def sparse_conv_fwd_pallas(
             pltpu.SemaphoreType.DMA((n_buf,)),
         ]
         kernel = functools.partial(
-            _conv_fwd_kernel, slab_size=S, num_k=K, num_t=nt
+            _conv_fwd_kernel, slab_size=S, num_k=K, num_t=nt, sub_size=sub,
         )
-        prefetch = slab_map.starts
         dma_bytes = K * nt * S * Cin * feats.dtype.itemsize
+    prefetch = _prefetch_rows(slab_map, use_union)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (1, K, T), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, lrows, llanes), lambda t, s: (t, 0, 0),
+                memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (K, Cin, Cout), lambda t, s: (0, 0, 0), memory_space=pltpu.VMEM
@@ -694,7 +905,7 @@ def sparse_conv_fwd_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Co, Cout), feats.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * K * Co * Cin * (Cout + S),
+            flops=2 * K * Co * Cin * (Cout + (sub or S)),
             bytes_accessed=dma_bytes + Co * Cout * 4,
             transcendentals=0,
         ),
@@ -707,7 +918,7 @@ def sparse_conv_fwd_pallas(
 
 
 def _conv_dw_kernel(
-    starts_ref,  # (K, nt) SMEM
+    starts_ref,  # (K (+K·J), nt) SMEM
     local_ref,  # (1, K, T) VMEM — this tile's local indices
     g_ref,  # (T, Cout) VMEM — grad tile
     feats_hbm,  # (Ci, Cin) ANY
@@ -718,6 +929,7 @@ def _conv_dw_kernel(
     slab_size: int,
     num_t: int,
     num_k: int,
+    sub_size: int = 0,
 ):
     """dW[k] = Σ_t gatheredᵀ_{k,t} @ g_t — one grid step per tile, offsets in
     an inner loop, accumulating directly into the W-shaped output block
@@ -742,9 +954,18 @@ def _conv_dw_kernel(
 
     def body(k, _):
         slot = jax.lax.rem(k, n_buf)
-        li = local_ref[0, pl.ds(k, 1), :]
         slab_copy(k, slot).wait()
-        gathered = _onehot_gather(li, slab_ref[slot], slab_size, g_ref.dtype)
+        if sub_size:
+            gathered = _sub_gathered(
+                local_ref, k, t, starts_ref, num_k,
+                lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
+                sub_size, g_ref.shape[0], g_ref.dtype,
+            )
+        else:
+            li = local_ref[0, pl.ds(k, 1), :]
+            gathered = _onehot_gather(
+                li, slab_ref[slot], slab_size, g_ref.dtype
+            )
         contrib = jax.lax.dot_general(
             gathered,
             g_ref[...],
@@ -763,7 +984,7 @@ def _conv_dw_kernel(
 
 
 def _conv_dw_kernel_union(
-    starts_ref,  # (K+1, nt) SMEM — row K = union starts
+    starts_ref,  # (K+1 (+K·J), nt) SMEM — row K = union starts
     local_ref,  # (1, K, T) VMEM
     g_ref,  # (T, Cout) VMEM — grad tile
     feats_hbm,  # (Ci, Cin) ANY
@@ -775,6 +996,7 @@ def _conv_dw_kernel_union(
     union_size: int,
     num_t: int,
     num_k: int,
+    sub_size: int = 0,
 ):
     """Union-slab dW: one per-tile DMA (see _conv_fwd_kernel_union)."""
     t = pl.program_id(0)
@@ -806,10 +1028,19 @@ def _conv_dw_kernel_union(
     u_t = starts_ref[num_k, t]
 
     def body(k, _):
-        li = local_ref[0, pl.ds(k, 1), :]
         rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
-        window = slab_ref[slot, pl.ds(rel, slab_size), :]
-        gathered = _onehot_gather(li, window, slab_size, g_ref.dtype)
+        if sub_size:
+            gathered = _sub_gathered(
+                local_ref, k, t, starts_ref, num_k + 1,
+                lambda sr: slab_ref[
+                    slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
+                ],
+                sub_size, g_ref.shape[0], g_ref.dtype,
+            )
+        else:
+            li = local_ref[0, pl.ds(k, 1), :]
+            window = slab_ref[slot, pl.ds(rel, slab_size), :]
+            gathered = _onehot_gather(li, window, slab_size, g_ref.dtype)
         contrib = jax.lax.dot_general(
             gathered,
             g_ref[...],
@@ -830,11 +1061,15 @@ def sparse_conv_dw_pallas(
 ) -> jnp.ndarray:
     true_cin = feats.shape[1]
     feats = _pad_lanes(feats, 1)
-    nt, K, T = slab_map.local_tk.shape
+    # local_tk is (nt, K, T) single-tier, (nt, K·J, SUB_TILE) two-tier
+    nt, lrows, llanes = slab_map.local_tk.shape
+    K = weights_shape[0]
+    T = slab_map.tile
     S = slab_map.slab_size
     Ci, Cin = feats.shape
     Cout = g.shape[-1]
 
+    sub = slab_map.sub_size if slab_map.sub_rel is not None else 0
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
     if use_union:
         U = slab_map.union_size
@@ -844,9 +1079,8 @@ def sparse_conv_dw_pallas(
         ]
         kernel = functools.partial(
             _conv_dw_kernel_union,
-            slab_size=S, union_size=U, num_t=nt, num_k=K,
+            slab_size=S, union_size=U, num_t=nt, num_k=K, sub_size=sub,
         )
-        prefetch = _starts_with_union(slab_map)
         dma_bytes = nt * U * Cin * feats.dtype.itemsize
     else:
         n_buf = _ring_depth(S, Cin, K)
@@ -855,17 +1089,18 @@ def sparse_conv_dw_pallas(
             pltpu.SemaphoreType.DMA((n_buf,)),
         ]
         kernel = functools.partial(
-            _conv_dw_kernel, slab_size=S, num_t=nt, num_k=K
+            _conv_dw_kernel, slab_size=S, num_t=nt, num_k=K, sub_size=sub,
         )
-        prefetch = slab_map.starts
         dma_bytes = K * nt * S * Cin * feats.dtype.itemsize
+    prefetch = _prefetch_rows(slab_map, use_union)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (1, K, T), lambda t, s: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, lrows, llanes), lambda t, s: (t, 0, 0),
+                memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (T, Cout), lambda t, s: (t, 0), memory_space=pltpu.VMEM
@@ -882,7 +1117,7 @@ def sparse_conv_dw_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, Cin, Cout), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * K * nt * T * (S + Cout) * Cin,
+            flops=2 * K * nt * T * ((sub or S) + Cout) * Cin,
             bytes_accessed=dma_bytes + nt * T * Cout * 4,
             transcendentals=0,
         ),

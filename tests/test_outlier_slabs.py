@@ -29,11 +29,13 @@ from minkowskiengine_tpu.ops.functional import (
     take_rows,
 )
 from minkowskiengine_tpu.ops.pallas.conv_kernel import (
+    SUB_TILE,
     _extract_outliers,
     build_slab_map_floored,
     measure_spans,
     slab_ladder,
     slab_tile,
+    sub_ladder,
 )
 
 
@@ -52,7 +54,9 @@ def surface_kmap(seed=0, n_points=80_000, ks=3):
 
 def windowed_in_idx(in_idx, slab):
     """The effective gather map the slab kernel implements: pairs whose
-    slab-local index falls outside [0, S) are dropped (-1)."""
+    window-local index falls outside the window are dropped (-1).  With
+    two-tier windows the window is the per-(offset, tile, sub-tile)
+    S'-row slice at ``starts + sub_rel``."""
     idx = np.asarray(in_idx)
     Kv, C = idx.shape
     T = slab.tile
@@ -60,7 +64,18 @@ def windowed_in_idx(in_idx, slab):
     tiles = idx.reshape(Kv, nt, T)
     starts = np.asarray(slab.starts)  # (K, nt)
     local = tiles - starts[:, :, None]
-    keep = (tiles >= 0) & (local >= 0) & (local < slab.slab_size)
+    if slab.sub_size and slab.sub_rel is not None:
+        J = T // SUB_TILE
+        # (K·J, nt) → (K, nt, J)
+        rel = np.asarray(slab.sub_rel).reshape(Kv, J, nt).transpose(0, 2, 1)
+        l4 = local.reshape(Kv, nt, J, SUB_TILE) - rel[..., None]
+        keep = (
+            (tiles.reshape(Kv, nt, J, SUB_TILE) >= 0)
+            & (l4 >= 0)
+            & (l4 < slab.sub_size)
+        ).reshape(Kv, nt, T)
+    else:
+        keep = (tiles >= 0) & (local >= 0) & (local < slab.slab_size)
     return np.where(keep, tiles, -1).reshape(Kv, C)
 
 
@@ -85,8 +100,10 @@ class TestOutlierSlabs:
             idx = np.asarray(km.in_idx)
             assert (idx[kk[:n], dst[:n]] == src[:n]).all()
 
-    @pytest.mark.parametrize("S", [320, 512])
-    def test_windowed_plus_correction_is_exact(self, S):
+    @pytest.mark.parametrize(
+        "S,sub", [(320, 0), (512, 0), (512, 160), (320, 128)]
+    )
+    def test_windowed_plus_correction_is_exact(self, S, sub):
         x, km = surface_kmap()
         rng = np.random.RandomState(3)
         Kv = km.kernel_volume
@@ -94,12 +111,17 @@ class TestOutlierSlabs:
         W = jnp.asarray(rng.randn(Kv, cin, cout).astype(np.float32)) * 0.1
         feats = x.padded_features
 
-        fwd = build_slab_map_floored(
-            km.in_idx, km.capacity_in, (S, 256, 16384)
-        )
-        bwd = build_slab_map_floored(
-            km.out_idx_t, km.capacity_out, (S, 256, 16384)
-        )
+        floor = (S, 256, 16384, sub if sub else S)
+        fwd = build_slab_map_floored(km.in_idx, km.capacity_in, floor)
+        bwd = build_slab_map_floored(km.out_idx_t, km.capacity_out, floor)
+        assert fwd.sub_size == sub and bwd.sub_size == sub
+        if sub:
+            # sub windows sit inside the slab, 16-aligned
+            rel = np.asarray(fwd.sub_rel)
+            assert rel.min() >= 0 and rel.max() <= S - sub
+            assert (rel % 16 == 0).all()
+            loc = np.asarray(fwd.local_tk)
+            assert loc.min() >= 0 and loc.max() <= sub
         assert fwd.ov_src is not None and int(fwd.ov_count) > 0, (
             "test requires real outliers; surface cloud should produce them"
         )
@@ -149,6 +171,51 @@ class TestOutlierSlabs:
         np.testing.assert_allclose(
             np.asarray(d_w), np.asarray(d_w_e), rtol=1e-4, atol=1e-4
         )
+
+    def test_subtier_extraction_matches_measure_counters(self):
+        """The two-tier block of measure_spans bit-matches
+        _extract_outliers under the same (S, S') window rule."""
+        x, km = surface_kmap()
+        tile = slab_tile(km.in_idx.shape[1])
+        ladder = slab_ladder(tile)
+        subs = sub_ladder(tile)
+        vec = np.asarray(
+            measure_spans(km.in_idx, tile, km.capacity_in, ladder, subs)
+        )
+        assert len(vec) == 3 + len(ladder) * (1 + len(subs))
+        tbl = vec[3 + len(ladder):]
+        for i, S in enumerate(ladder):
+            for j, Sp in enumerate(subs):
+                expected = int(tbl[i * len(subs) + j])
+                if Sp >= S:
+                    # degenerate combo repeats the single-tier count
+                    assert expected == int(vec[3 + i])
+                    continue
+                src, dst, kk, cnt = _extract_outliers(
+                    km.in_idx, km.capacity_in, tile, S, 1 << 16, Sp
+                )
+                assert int(cnt) == expected
+                # two-tier outliers superset the single-tier ones
+                assert expected >= int(vec[3 + i])
+                n = int(cnt)
+                idx = np.asarray(km.in_idx)
+                kk, dst, src = (np.asarray(a) for a in (kk, dst, src))
+                assert (idx[kk[:n], dst[:n]] == src[:n]).all()
+
+    def test_manager_build_enables_subtier(self):
+        """The span-driven builder picks a sub-window rung on both
+        geometries (uniform: zero-outlier S'; surface: ~1% budget)."""
+        x, km = surface_kmap()
+        fwd = km.fwd_slab
+        assert fwd is not None
+        assert 0 < fwd.sub_size < fwd.slab_size
+        assert fwd.ov_src is not None  # validity always checkable
+        assert int(fwd.ov_count) <= fwd.ov_cap
+        # floors ratcheted with the sub component
+        floors = list(x.coordinate_manager._slab_floors.values())
+        assert floors, "slab floor should be ratcheted"
+        ffloor, _bfloor = floors[0]
+        assert len(ffloor) == 4 and ffloor[3] == fwd.sub_size
 
     def test_surface_build_picks_small_rung_with_outliers(self):
         """End-to-end: the manager-built surface kernel map must choose a
