@@ -303,8 +303,18 @@ def _extract_outliers(in_idx, cap_in, tile, slab_size, cap, sub_size=0):
     else:
         out_mask = valid & ((local < 0) | (local >= slab_size))
     flat_mask = out_mask.reshape(-1)
-    pos = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
-    tgt = jnp.where(flat_mask, pos, cap)  # cap ⇒ dropped
+    # Scatter-free compaction: the j-th outlier's flat position is the
+    # first index where cumsum(mask) reaches j+1 — a searchsorted (binary
+    # search, ~log2(K·Co) vectorized gather steps for all ``cap`` queries).
+    # The obvious masked-cumsum scatter (fill.at[tgt].set) hits a serial
+    # TPU scatter emitter at some shapes: measured 20 ms for 884k updates
+    # (≈23 ns/update) vs 0.04 ms for a 4M-update sibling — six such
+    # scatters made the traced coordinate phase 195 ms (was ~10).
+    count = jnp.sum(flat_mask.astype(jnp.int32))
+    cs = jnp.cumsum(flat_mask.astype(jnp.int32))
+    j = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.searchsorted(cs, j + 1, side="left").astype(jnp.int32)
+    found = j < count
     src = idx.reshape(-1)
     dst = jnp.broadcast_to(
         jnp.arange(Co, dtype=jnp.int32).reshape(1, nt, tile), idx.shape
@@ -312,11 +322,10 @@ def _extract_outliers(in_idx, cap_in, tile, slab_size, cap, sub_size=0):
     kk = jnp.broadcast_to(
         jnp.arange(K, dtype=jnp.int32)[:, None, None], idx.shape
     ).reshape(-1)
-    fill = jnp.full((cap,), -1, jnp.int32)
-    ov_src = fill.at[tgt].set(src, mode="drop")
-    ov_dst = fill.at[tgt].set(dst, mode="drop")
-    ov_k = fill.at[tgt].set(kk, mode="drop")
-    return ov_src, ov_dst, ov_k, jnp.sum(flat_mask.astype(jnp.int32))
+    ov_src = jnp.where(found, jnp.take(src, pos, mode="clip"), -1)
+    ov_dst = jnp.where(found, jnp.take(dst, pos, mode="clip"), -1)
+    ov_k = jnp.where(found, jnp.take(kk, pos, mode="clip"), -1)
+    return ov_src, ov_dst, ov_k, count
 
 
 def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
