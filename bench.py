@@ -93,6 +93,19 @@ def main():
 
     results = {}
 
+    # ---- tunnel sync latency (context for the eager/cold metrics) -------
+    # Every isolated dispatch+sync through this box's TPU tunnel pays
+    # ~34 ms of completion latency regardless of work (measured pristine
+    # AND post-pallas).  Eager API paths take 3 host syncs (insert, span
+    # fetch, final block), so their wall times here carry a ~3× this
+    # latency floor that does not exist on directly-attached hardware.
+    tiny = jax.jit(lambda a: a + 1)
+    z = jnp.zeros((8,))
+    tiny(z).block_until_ready()
+    t_sync, _ = timeit(lambda: tiny(z).block_until_ready(), warmup=2, iters=5)
+    results["tunnel_sync_latency_s"] = t_sync
+    log(f"tunnel dispatch+sync latency: {t_sync*1e3:.1f} ms")
+
     # ---- headline: single conv 3->32 k=3 fwd, warm geometry -------------
     # Timing note: EVERY dispatch+sync through this box's TPU tunnel pays
     # ~30 ms of completion latency regardless of work (measured: total time
@@ -362,7 +375,13 @@ def main():
 
     tc_min, _ = timeit(run_cold, warmup=2, iters=5)
     results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
-    log(f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms")
+    sync_floor = 3 * results.get("tunnel_sync_latency_s", 0.0)
+    results["single_conv_fwd_k3_cold_e2e_net_s"] = max(tc_min - sync_floor, 0.0)
+    log(
+        f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms "
+        f"(~{sync_floor*1e3:.0f} ms of that is 3x tunnel sync latency; "
+        f"net {max(tc_min - sync_floor, 0.0)*1e3:.1f} ms)"
+    )
 
     # ---- kernel map build alone -----------------------------------------
     def run_kmap():
@@ -374,7 +393,11 @@ def main():
 
     tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
     results["kernel_map_build_k3_s"] = tk_min
-    log(f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms")
+    results["kernel_map_build_k3_net_s"] = max(tk_min - sync_floor, 0.0)
+    log(
+        f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms "
+        f"(net of 3x tunnel sync: {max(tk_min - sync_floor, 0.0)*1e3:.1f} ms)"
+    )
 
     # ---- MinkUNet34 fwd+bwd points/sec -----------------------------------
     try:

@@ -217,16 +217,20 @@ def _outlier_dw(d_kernel, feats, g, slab):
 
 
 @jax.custom_vjp
-def sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab):
+def sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab, n_out=None, n_in=None):
+    """``n_out`` / ``n_in``: optional traced valid-row counts of the
+    output / input maps — lets the slab kernels skip the all-padding tail
+    tiles of the pow2 capacity bucket at runtime (up to ~25% of grid
+    steps; no re-lowering when the counts jitter between batches)."""
     from .pallas.conv_kernel import sparse_conv_fwd_pallas
 
-    out = sparse_conv_fwd_pallas(feats, kernel, fwd_slab)
+    out = sparse_conv_fwd_pallas(feats, kernel, fwd_slab, n_valid_out=n_out)
     return _outlier_apply(out, feats, kernel, fwd_slab)
 
 
-def _conv_pallas_fwd(feats, kernel, fwd_slab, bwd_slab):
-    out = sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab)
-    return out, (feats, kernel, fwd_slab, bwd_slab)
+def _conv_pallas_fwd(feats, kernel, fwd_slab, bwd_slab, n_out=None, n_in=None):
+    out = sparse_conv_pallas(feats, kernel, fwd_slab, bwd_slab, n_out, n_in)
+    return out, (feats, kernel, fwd_slab, bwd_slab, n_out, n_in)
 
 
 def _conv_pallas_bwd(res, g):
@@ -235,15 +239,17 @@ def _conv_pallas_bwd(res, g):
         sparse_conv_fwd_pallas,
     )
 
-    feats, kernel, fwd_slab, bwd_slab = res
+    feats, kernel, fwd_slab, bwd_slab, n_out, n_in = res
     # d_in[i] = Σ_k g[out_idx_t[k, i]] @ W[k]ᵀ — the forward kernel run on
     # the transposed matching with transposed weights.
     w_t = jnp.swapaxes(kernel, 1, 2)
-    d_feats = sparse_conv_fwd_pallas(g, w_t, bwd_slab)
+    d_feats = sparse_conv_fwd_pallas(g, w_t, bwd_slab, n_valid_out=n_in)
     d_feats = _outlier_apply(d_feats, g, w_t, bwd_slab)
-    d_kernel = sparse_conv_dw_pallas(feats, g, fwd_slab, kernel.shape)
+    d_kernel = sparse_conv_dw_pallas(
+        feats, g, fwd_slab, kernel.shape, n_valid_out=n_out
+    )
     d_kernel = _outlier_dw(d_kernel, feats, g, fwd_slab)
-    return d_feats, d_kernel, None, None
+    return d_feats, d_kernel, None, None, None, None
 
 
 sparse_conv_pallas.defvjp(_conv_pallas_fwd, _conv_pallas_bwd)
@@ -275,7 +281,8 @@ def use_pallas_conv(kmap: KernelMap, feats, kernel) -> bool:
 def sparse_conv_kmap(feats, kernel, kmap: KernelMap):
     if use_pallas_conv(kmap, feats, kernel):
         return _sparse_conv_pallas_jit(
-            feats, kernel, kmap.fwd_slab, kmap.bwd_slab
+            feats, kernel, kmap.fwd_slab, kmap.bwd_slab,
+            kmap.n_out, kmap.n_in,
         )
     return _sparse_conv_jit(feats, kernel, kmap.in_idx, kmap.out_idx_t)
 

@@ -672,11 +672,18 @@ def _conv_fwd_kernel(
     num_k: int,
     num_t: int,
     sub_size: int = 0,
+    ntef_row: int = -1,
 ):
     """One grid step = one output tile; kernel offsets run in an inner loop
     (27× fewer grid steps than a (tiles, offsets) grid — grid-step overhead
     was the measured bottleneck) over a ring of in-flight slab DMAs (a
-    single double buffer left the loop DMA-latency serialized)."""
+    single double buffer left the loop DMA-latency serialized).
+
+    ``ntef_row`` ≥ 0: prefetch row holding the DYNAMIC count of live
+    output tiles (⌈n_valid/T⌉ — pow2 capacity buckets leave up to ~25% of
+    tiles all-padding); dead tiles skip their DMAs and gather FLOPs and
+    just zero their output block.  A runtime scalar, not a static shape:
+    no re-lowering when geometry jitters."""
     t = pl.program_id(0)
     n_buf = slab_ref.shape[0]
 
@@ -688,54 +695,68 @@ def _conv_fwd_kernel(
             sem.at[sl],
         )
 
-    for j in range(min(n_buf, num_k)):  # prologue: fill the ring
-        slab_copy(j, j).start()
+    def compute():
+        for j in range(min(n_buf, num_k)):  # prologue: fill the ring
+            slab_copy(j, j).start()
 
-    T = out_ref.shape[0]
-    cout = out_ref.shape[-1]
+        T = out_ref.shape[0]
+        cout = out_ref.shape[-1]
 
-    # NOTE: reordering the contraction as (slab @ W) then gather looks
-    # cheaper on paper for Cout < Cin, but measured ~15% SLOWER end-to-end:
-    # lane padding to 128 makes the "narrow" dots cost the same, and the
-    # extra dependency lengthens the critical path.  Keep gather-then-W.
-    def one(k, acc):
-        slot = jax.lax.rem(k, n_buf)
-        w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
+        # NOTE: reordering the contraction as (slab @ W) then gather looks
+        # cheaper on paper for Cout < Cin, but measured ~15% SLOWER
+        # end-to-end: lane padding to 128 makes the "narrow" dots cost the
+        # same, and the extra dependency lengthens the critical path.
+        def one(k, acc):
+            slot = jax.lax.rem(k, n_buf)
+            w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
 
-        slab_copy(k, slot).wait()
-        if sub_size:
-            gathered = _sub_gathered(
-                local_ref, k, t, starts_ref, num_k,
-                lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
-                sub_size, T, w_ref.dtype,
+            slab_copy(k, slot).wait()
+            if sub_size:
+                gathered = _sub_gathered(
+                    local_ref, k, t, starts_ref, num_k,
+                    lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
+                    sub_size, T, w_ref.dtype,
+                )
+            else:
+                li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
+                gathered = _onehot_gather(
+                    li, slab_ref[slot], slab_size, w_ref.dtype
+                )
+            acc = acc + jnp.dot(
+                gathered, w_k, preferred_element_type=jnp.float32
             )
-        else:
-            li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
-            gathered = _onehot_gather(
-                li, slab_ref[slot], slab_size, w_ref.dtype
-            )
-        acc = acc + jnp.dot(gathered, w_k, preferred_element_type=jnp.float32)
 
-        @pl.when(k + n_buf < num_k)  # refill the slot we just consumed
+            @pl.when(k + n_buf < num_k)  # refill the slot we just consumed
+            def _():
+                slab_copy(k + n_buf, slot).start()
+
+            return acc
+
+        # register-carried accumulator + 3-way unroll: keeps the MXU fed
+        # across iterations instead of serializing on a VMEM
+        # read-modify-write
+        unroll = 3 if num_k % 3 == 0 else 1
+        acc0 = jnp.zeros((T, cout), jnp.float32)
+
+        def body(i, acc):
+            for u in range(unroll):
+                acc = one(i * unroll + u, acc)
+            return acc
+
+        acc = jax.lax.fori_loop(0, num_k // unroll, body, acc0)
+        for k in range(num_k - num_k % unroll, num_k):
+            acc = one(k, acc)
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    if ntef_row < 0:
+        compute()
+    else:
+        live = t < starts_ref[ntef_row, 0]
+        pl.when(live)(compute)
+
+        @pl.when(jnp.logical_not(live))
         def _():
-            slab_copy(k + n_buf, slot).start()
-
-        return acc
-
-    # register-carried accumulator + 3-way unroll: keeps the MXU fed across
-    # iterations instead of serializing on a VMEM read-modify-write
-    unroll = 3 if num_k % 3 == 0 else 1
-    acc0 = jnp.zeros((T, cout), jnp.float32)
-
-    def body(i, acc):
-        for u in range(unroll):
-            acc = one(i * unroll + u, acc)
-        return acc
-
-    acc = jax.lax.fori_loop(0, num_k // unroll, body, acc0)
-    for k in range(num_k - num_k % unroll, num_k):
-        acc = one(k, acc)
-    out_ref[...] = acc.astype(out_ref.dtype)
+            out_ref[...] = jnp.zeros_like(out_ref)
 
 
 def _conv_fwd_kernel_union(
@@ -752,14 +773,19 @@ def _conv_fwd_kernel_union(
     num_k: int,
     num_t: int,
     sub_size: int = 0,
+    ntef_row: int = -1,
 ):
     """Union-slab forward: ONE DMA per output tile (feats[u : u+U]) serves
     all K offsets — their per-offset slabs overlap almost entirely, so the
     per-(offset, tile) DMA scheme moves ~K× more HBM bytes than needed
     (measured ~70% of kernel time at 27 offsets / 128 channels).  Each
     offset gathers from a dynamic (S)-row window of the resident union
-    slab; the tile t+1 copy is issued before tile t's compute."""
+    slab; the tile t+1 copy is issued before tile t's compute.
+
+    ``ntef_row``: see _conv_fwd_kernel — dynamic live-tile count; dead
+    tiles (beyond ⌈n_valid/T⌉) zero their output without DMA/compute."""
     t = pl.program_id(0)
+    nte = starts_ref[ntef_row, 0] if ntef_row >= 0 else num_t
 
     def tile_copy(tt, sl):
         u = pl.multiple_of(starts_ref[num_k, tt], 16)
@@ -775,45 +801,57 @@ def _conv_fwd_kernel_union(
 
     slot = jax.lax.rem(t, 2)
 
-    @pl.when(t + 1 < num_t)
+    @pl.when(t + 1 < nte)
     def _():
         tile_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
 
-    tile_copy(t, slot).wait()
+    def compute():
+        tile_copy(t, slot).wait()
 
-    T = out_ref.shape[0]
-    cout = out_ref.shape[-1]
-    u_t = starts_ref[num_k, t]
+        T = out_ref.shape[0]
+        cout = out_ref.shape[-1]
+        u_t = starts_ref[num_k, t]
 
-    def one(k, acc):
-        w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
-        rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
-        if sub_size:
-            gathered = _sub_gathered(
-                local_ref, k, t, starts_ref, num_k + 1,
-                lambda sr: slab_ref[
-                    slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
-                ],
-                sub_size, T, w_ref.dtype,
+        def one(k, acc):
+            w_k = w_ref[pl.ds(k, 1), :, :][0]  # (Cin, Cout)
+            rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
+            if sub_size:
+                gathered = _sub_gathered(
+                    local_ref, k, t, starts_ref, num_k + 1,
+                    lambda sr: slab_ref[
+                        slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
+                    ],
+                    sub_size, T, w_ref.dtype,
+                )
+            else:
+                li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
+                window = slab_ref[slot, pl.ds(rel, slab_size), :]
+                gathered = _onehot_gather(li, window, slab_size, w_ref.dtype)
+            return acc + jnp.dot(
+                gathered, w_k, preferred_element_type=jnp.float32
             )
-        else:
-            li = local_ref[0, pl.ds(k, 1), :]  # (1, T)
-            window = slab_ref[slot, pl.ds(rel, slab_size), :]
-            gathered = _onehot_gather(li, window, slab_size, w_ref.dtype)
-        return acc + jnp.dot(gathered, w_k, preferred_element_type=jnp.float32)
 
-    unroll = 3 if num_k % 3 == 0 else 1
-    acc0 = jnp.zeros((T, cout), jnp.float32)
+        unroll = 3 if num_k % 3 == 0 else 1
+        acc0 = jnp.zeros((T, cout), jnp.float32)
 
-    def body(i, acc):
-        for u in range(unroll):
-            acc = one(i * unroll + u, acc)
-        return acc
+        def body(i, acc):
+            for u in range(unroll):
+                acc = one(i * unroll + u, acc)
+            return acc
 
-    acc = jax.lax.fori_loop(0, num_k // unroll, body, acc0)
-    for k in range(num_k - num_k % unroll, num_k):
-        acc = one(k, acc)
-    out_ref[...] = acc.astype(out_ref.dtype)
+        acc = jax.lax.fori_loop(0, num_k // unroll, body, acc0)
+        for k in range(num_k - num_k % unroll, num_k):
+            acc = one(k, acc)
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    if ntef_row < 0:
+        compute()
+    else:
+        pl.when(t < nte)(compute)
+
+        @pl.when(jnp.logical_not(t < nte))
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
 
 
 def _pad_lanes(x, axis):
@@ -848,12 +886,29 @@ def _prefetch_rows(slab_map: SlabMap, with_union: bool) -> jnp.ndarray:
     return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
 
+def _append_ntef(prefetch, n_valid, tile, nt):
+    """Append a prefetch row carrying ⌈n_valid/T⌉ (the DYNAMIC live-tile
+    count) clamped to [1, nt].  Returns (prefetch, row_index)."""
+    if n_valid is None:
+        return prefetch, -1
+    ntef = jnp.clip(
+        (jnp.asarray(n_valid, jnp.int32) + (tile - 1)) // tile, 1, nt
+    )
+    row = jnp.broadcast_to(ntef, (1, prefetch.shape[1])).astype(jnp.int32)
+    return jnp.concatenate([prefetch, row], axis=0), prefetch.shape[0]
+
+
 def sparse_conv_fwd_pallas(
     feats: jnp.ndarray,  # (Ci, Cin)
     weights: jnp.ndarray,  # (K, Cin, Cout)
     slab_map: SlabMap,
+    n_valid_out=None,  # optional traced count of valid OUTPUT rows
 ) -> jnp.ndarray:
-    """Forward sparse conv via the slab kernel.  Returns (Co, Cout)."""
+    """Forward sparse conv via the slab kernel.  Returns (Co, Cout).
+
+    ``n_valid_out``: rows ≥ it are all-padding (their kernel-map entries
+    are -1); their tiles are skipped at runtime (zeros written) — pow2
+    capacity buckets leave up to ~25% of tiles dead."""
     feats = _pad_lanes(feats, 1)
     weights = _pad_lanes(weights, 1).astype(feats.dtype)
     # local_tk is (nt, K, T) single-tier, (nt, K·J, SUB_TILE) two-tier
@@ -867,6 +922,8 @@ def sparse_conv_fwd_pallas(
 
     sub = slab_map.sub_size if slab_map.sub_rel is not None else 0
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
+    prefetch = _prefetch_rows(slab_map, use_union)
+    prefetch, ntef_row = _append_ntef(prefetch, n_valid_out, T, nt)
     if use_union:
         U = slab_map.union_size
         scratch = [
@@ -876,6 +933,7 @@ def sparse_conv_fwd_pallas(
         kernel = functools.partial(
             _conv_fwd_kernel_union,
             slab_size=S, union_size=U, num_k=K, num_t=nt, sub_size=sub,
+            ntef_row=ntef_row,
         )
         dma_bytes = nt * U * Cin * feats.dtype.itemsize
     else:
@@ -886,9 +944,9 @@ def sparse_conv_fwd_pallas(
         ]
         kernel = functools.partial(
             _conv_fwd_kernel, slab_size=S, num_k=K, num_t=nt, sub_size=sub,
+            ntef_row=ntef_row,
         )
         dma_bytes = K * nt * S * Cin * feats.dtype.itemsize
-    prefetch = _prefetch_rows(slab_map, use_union)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -939,10 +997,15 @@ def _conv_dw_kernel(
     num_t: int,
     num_k: int,
     sub_size: int = 0,
+    ntef_row: int = -1,
 ):
     """dW[k] = Σ_t gatheredᵀ_{k,t} @ g_t — one grid step per tile, offsets in
     an inner loop, accumulating directly into the W-shaped output block
-    (constant block index ⇒ stays resident in VMEM across the grid)."""
+    (constant block index ⇒ stays resident in VMEM across the grid).
+
+    ``ntef_row``: see _conv_fwd_kernel — dead tiles gather all-zeros (every
+    local index is the zero-row sentinel), so skipping them entirely is
+    exact regardless of the cotangent's padding rows."""
     t = pl.program_id(0)
     n_buf = slab_ref.shape[0]
 
@@ -954,42 +1017,48 @@ def _conv_dw_kernel(
             sem.at[sl],
         )
 
-    for j in range(min(n_buf, num_k)):
-        slab_copy(j, j).start()
-
     @pl.when(t == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    def body(k, _):
-        slot = jax.lax.rem(k, n_buf)
-        slab_copy(k, slot).wait()
-        if sub_size:
-            gathered = _sub_gathered(
-                local_ref, k, t, starts_ref, num_k,
-                lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
-                sub_size, g_ref.shape[0], g_ref.dtype,
+    def compute():
+        for j in range(min(n_buf, num_k)):
+            slab_copy(j, j).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, n_buf)
+            slab_copy(k, slot).wait()
+            if sub_size:
+                gathered = _sub_gathered(
+                    local_ref, k, t, starts_ref, num_k,
+                    lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
+                    sub_size, g_ref.shape[0], g_ref.dtype,
+                )
+            else:
+                li = local_ref[0, pl.ds(k, 1), :]
+                gathered = _onehot_gather(
+                    li, slab_ref[slot], slab_size, g_ref.dtype
+                )
+            contrib = jax.lax.dot_general(
+                gathered,
+                g_ref[...],
+                (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
+                preferred_element_type=jnp.float32,
             )
-        else:
-            li = local_ref[0, pl.ds(k, 1), :]
-            gathered = _onehot_gather(
-                li, slab_ref[slot], slab_size, g_ref.dtype
-            )
-        contrib = jax.lax.dot_general(
-            gathered,
-            g_ref[...],
-            (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
-            preferred_element_type=jnp.float32,
-        )
-        dw_ref[pl.ds(k, 1), :, :] += contrib[None]
+            dw_ref[pl.ds(k, 1), :, :] += contrib[None]
 
-        @pl.when(k + n_buf < num_k)
-        def _():
-            slab_copy(k + n_buf, slot).start()
+            @pl.when(k + n_buf < num_k)
+            def _():
+                slab_copy(k + n_buf, slot).start()
 
-        return 0
+            return 0
 
-    jax.lax.fori_loop(0, num_k, body, 0)
+        jax.lax.fori_loop(0, num_k, body, 0)
+
+    if ntef_row < 0:
+        compute()
+    else:
+        pl.when(t < starts_ref[ntef_row, 0])(compute)
 
 
 def _conv_dw_kernel_union(
@@ -1006,9 +1075,13 @@ def _conv_dw_kernel_union(
     num_t: int,
     num_k: int,
     sub_size: int = 0,
+    ntef_row: int = -1,
 ):
-    """Union-slab dW: one per-tile DMA (see _conv_fwd_kernel_union)."""
+    """Union-slab dW: one per-tile DMA (see _conv_fwd_kernel_union).
+
+    ``ntef_row``: see _conv_dw_kernel."""
     t = pl.program_id(0)
+    nte = starts_ref[ntef_row, 0] if ntef_row >= 0 else num_t
 
     def tile_copy(tt, sl):
         u = pl.multiple_of(starts_ref[num_k, tt], 16)
@@ -1024,42 +1097,47 @@ def _conv_dw_kernel_union(
 
     slot = jax.lax.rem(t, 2)
 
-    @pl.when(t + 1 < num_t)
+    @pl.when(t + 1 < nte)
     def _():
         tile_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
-
-    tile_copy(t, slot).wait()
 
     @pl.when(t == 0)
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    u_t = starts_ref[num_k, t]
+    def compute():
+        tile_copy(t, slot).wait()
+        u_t = starts_ref[num_k, t]
 
-    def body(k, _):
-        rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
-        if sub_size:
-            gathered = _sub_gathered(
-                local_ref, k, t, starts_ref, num_k + 1,
-                lambda sr: slab_ref[
-                    slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
-                ],
-                sub_size, g_ref.shape[0], g_ref.dtype,
+        def body(k, _):
+            rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
+            if sub_size:
+                gathered = _sub_gathered(
+                    local_ref, k, t, starts_ref, num_k + 1,
+                    lambda sr: slab_ref[
+                        slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
+                    ],
+                    sub_size, g_ref.shape[0], g_ref.dtype,
+                )
+            else:
+                li = local_ref[0, pl.ds(k, 1), :]
+                window = slab_ref[slot, pl.ds(rel, slab_size), :]
+                gathered = _onehot_gather(li, window, slab_size, g_ref.dtype)
+            contrib = jax.lax.dot_general(
+                gathered,
+                g_ref[...],
+                (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
+                preferred_element_type=jnp.float32,
             )
-        else:
-            li = local_ref[0, pl.ds(k, 1), :]
-            window = slab_ref[slot, pl.ds(rel, slab_size), :]
-            gathered = _onehot_gather(li, window, slab_size, g_ref.dtype)
-        contrib = jax.lax.dot_general(
-            gathered,
-            g_ref[...],
-            (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
-            preferred_element_type=jnp.float32,
-        )
-        dw_ref[pl.ds(k, 1), :, :] += contrib[None]
-        return 0
+            dw_ref[pl.ds(k, 1), :, :] += contrib[None]
+            return 0
 
-    jax.lax.fori_loop(0, num_k, body, 0)
+        jax.lax.fori_loop(0, num_k, body, 0)
+
+    if ntef_row < 0:
+        compute()
+    else:
+        pl.when(t < nte)(compute)
 
 
 def sparse_conv_dw_pallas(
@@ -1067,6 +1145,7 @@ def sparse_conv_dw_pallas(
     g: jnp.ndarray,  # (Co, Cout) output cotangent
     slab_map: SlabMap,
     weights_shape,
+    n_valid_out=None,  # optional traced count of valid OUTPUT rows
 ) -> jnp.ndarray:
     true_cin = feats.shape[1]
     feats = _pad_lanes(feats, 1)
@@ -1080,6 +1159,8 @@ def sparse_conv_dw_pallas(
 
     sub = slab_map.sub_size if slab_map.sub_rel is not None else 0
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
+    prefetch = _prefetch_rows(slab_map, use_union)
+    prefetch, ntef_row = _append_ntef(prefetch, n_valid_out, T, nt)
     if use_union:
         U = slab_map.union_size
         scratch = [
@@ -1089,6 +1170,7 @@ def sparse_conv_dw_pallas(
         kernel = functools.partial(
             _conv_dw_kernel_union,
             slab_size=S, union_size=U, num_t=nt, num_k=K, sub_size=sub,
+            ntef_row=ntef_row,
         )
         dma_bytes = nt * U * Cin * feats.dtype.itemsize
     else:
@@ -1099,9 +1181,9 @@ def sparse_conv_dw_pallas(
         ]
         kernel = functools.partial(
             _conv_dw_kernel, slab_size=S, num_t=nt, num_k=K, sub_size=sub,
+            ntef_row=ntef_row,
         )
         dma_bytes = K * nt * S * Cin * feats.dtype.itemsize
-    prefetch = _prefetch_rows(slab_map, use_union)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
