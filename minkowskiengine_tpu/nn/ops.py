@@ -129,14 +129,34 @@ def dense_coordinates(shape) -> jnp.ndarray:
 
 
 def to_sparse(x, format: str = None, coordinates=None, device=None):
-    """Dense (B, ch, *spatial) → SparseTensor of rows where any channel is
-    nonzero (reference: MinkowskiOps.py:279-321)."""
+    """Dense batched tensor → SparseTensor of rows where any channel is
+    nonzero (reference: MinkowskiOps.py:279-321).
+
+    ``format``: axis layout string — 'B' (batch, must be first), one 'C'
+    (channel, any position), 'X' elsewhere; default "BCX...X".  E.g.
+    channels-last image data is "BXXC"."""
     x = jnp.asarray(x)
-    B, ch = x.shape[0], x.shape[1]
-    spatial = x.shape[2:]
-    moved = jnp.moveaxis(x, 1, -1).reshape(-1, ch)  # (B*prod(spatial), ch)
+    if x.ndim <= 2:
+        raise ValueError("Input has 0 spatial dimension.")
+    if format is None:
+        format = "BC" + "X" * (x.ndim - 2)
+    if len(format) != x.ndim:
+        raise ValueError(f"Invalid format: {format}. len(format) != x.ndim")
+    if format.count("B") != 1 or format[0] != "B":
+        raise ValueError("format must start with the batch axis 'B'")
+    if format.count("C") != 1:
+        raise ValueError("format must indicate one channel axis 'C'")
+    ch_dim = format.index("C")
+    ch = x.shape[ch_dim]
+    moved = jnp.moveaxis(x, ch_dim, -1).reshape(-1, ch)
     nz = np.nonzero(np.asarray(jnp.any(moved != 0, axis=1)))[0]
-    all_coords = np.asarray(dense_coordinates(x.shape))
+    shape_wo_c = [s for i, s in enumerate(x.shape) if i != ch_dim]
+    grids = np.meshgrid(
+        *[np.arange(s) for s in shape_wo_c], indexing="ij"
+    )
+    all_coords = np.stack(
+        [g.reshape(-1) for g in grids], axis=1
+    ).astype(np.int32)
     coords = all_coords[nz]
     feats = moved[jnp.asarray(nz)]
     return SparseTensor(feats, coords)
