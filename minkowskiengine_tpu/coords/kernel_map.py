@@ -204,10 +204,12 @@ def _pads_for_offsets(cell_offsets, ndim):
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
-    """(cells_ext + 1, K) int32: the row grid — virtually extended by
+    """(cells_ext, K) int32: the row grid — virtually extended by
     ``pads`` cells of -1 per axis side — shifted by each offset's cell
-    delta, -1 filled at the shifted-out boundaries; trailing sentinel row
-    all -1.
+    delta, -1 filled at the shifted-out boundaries.  Sentinel cells
+    (out-of-grid probes) are handled by the CONSUMER gathering with
+    ``mode="fill", fill_value=-1`` — a trailing sentinel row here would
+    cost a full (cells_ext, K) concat copy (measured 3.5 ms/phase).
 
     shifted[c, k] = grid_ext[c ⊕ cell_offsets[k]] with per-dimension
     out-of-bounds → -1 (NOT flat wraparound: shifts run per axis on the
@@ -258,46 +260,64 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
         rows.append(jax.lax.slice(g2, starts, limits)[None])
     stack_nd = jnp.concatenate(rows, axis=0)  # (K, *ext) — K majormost
     stack_nd = jax.lax.optimization_barrier(stack_nd)
-    stack = jnp.transpose(stack_nd.reshape(Kc, cells_ext))  # (cells_ext, K)
-    return jnp.concatenate(
-        [stack, jnp.full((1, Kc), -1, jnp.int32)], axis=0
-    )
+    return jnp.transpose(stack_nd.reshape(Kc, cells_ext))  # (cells_ext, K)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _cells_of(coords, mins, grid_shape, tensor_stride):
-    """Flat in-grid cell per coordinate row, or ``cells`` (sentinel) when
-    outside the grid / off-stride."""
+    """(flat floor-div cell or ``cells`` sentinel, residue class id) per
+    coordinate row.
+
+    Rows need NOT lie on the probed lattice: the cell is the FLOOR
+    division and the residue p = (coord - mins) mod ts is returned as a
+    mixed-radix class id (Σ_d p_d over radices ts_d).  An offset Δ can
+    only match rows of its one compatible class (p ≡ -Δ mod ts) — the
+    caller masks by class after the stack gather."""
     ext = grid_shape[1:]
     cells = int(np.prod(grid_shape))
     b = coords[:, 0] - mins[0]
     rel = coords[:, 1:] - mins[1:]
     tsv = jnp.asarray(tensor_stride, jnp.int32)
     div = rel // tsv
+    p = rel % tsv  # non-negative (JAX mod takes the divisor's sign)
     ok = (
         (b >= 0)
         & (b < grid_shape[0])
-        & jnp.all(rel % tsv == 0, axis=-1)
         & jnp.all((div >= 0) & (div < jnp.asarray(ext, jnp.int32)), axis=-1)
     )
     flat = b
     for d in range(len(ext)):
         flat = flat * ext[d] + div[:, d]
-    return jnp.where(ok, flat, cells)
+    cls = jnp.zeros_like(b)
+    for d, t in enumerate(tensor_stride):
+        cls = cls * int(t) + p[:, d]
+    return jnp.where(ok, flat, cells), cls
 
 
 def _cell_offsets_for(offsets, tensor_stride, grid_shape):
-    """Static per-offset cell deltas (None = off-stride, never matches)."""
+    """Static per-offset (cell delta, required residue class id).
+
+    For a probe base b with residue p = (b - mins) mod ts, offset Δ
+    matches only rows of class p ≡ (-Δ) mod ts, and then lands exactly
+    δ = ⌈Δ/ts⌉ cells from the base's floor-div cell (p + Δ = ts·⌈Δ/ts⌉).
+    This is what lets ONE shifted-grid stack serve aligned bases AND
+    off-lattice ones (transpose convs probing a coarser map, strided
+    outputs with misaligned minima) — the shift is per-OFFSET constant;
+    only the validity mask is per-row."""
     offs = np.asarray(offsets)
     ts = np.asarray(tensor_stride, np.int64)
-    out = []
+    deltas, classes = [], []
     for k in range(offs.shape[0]):
         o = offs[k]
-        if (o[1:] % ts != 0).any():
-            out.append(None)
-            continue
-        out.append(tuple([int(o[0])] + [int(v) for v in o[1:] // ts]))
-    return tuple(out)
+        sp = np.asarray(o[1:], np.int64)
+        delta = tuple([int(o[0])] + [int(v) for v in -(-sp // ts)])
+        req = np.mod(-sp, ts)
+        cls = 0
+        for d in range(len(ts)):
+            cls = cls * int(ts[d]) + int(req[d])
+        deltas.append(delta)
+        classes.append(cls)
+    return tuple(deltas), tuple(classes)
 
 
 # per-chunk ceiling on shifted-grid elements (cells × chunk offsets,
@@ -318,25 +338,24 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
 
     Fast path: rather than K×C_out individual 4-byte gathers (XLA row
     gathers cost ~7 ns/element — 29 ms for a 125-offset map at 32k rows),
-    build the K Δ-shifted copies of the row grid (pure vectorized
+    build the K δ-shifted copies of the row grid (pure vectorized
     pad/slice shifts) and fetch all K offsets of each output row with ONE
-    (1, K)-slice gather — ~50× fewer gather rows.  Valid ONLY when the
-    base coordinates lie on the probed map's lattice, i.e. the probed
-    tensor stride divides ``base_stride`` per dimension (then
-    cell(base + Δ) = cell(base) ⊕ Δ/ts); otherwise fall back to
-    per-element lookups.
+    (1, K)-slice gather — ~50× fewer gather rows.  Works for ANY base
+    coordinates: each offset's cell shift is the constant ⌈Δ/ts⌉ and a
+    per-row residue-class mask rejects (row, offset) pairs whose base is
+    not on the offset's compatible lattice class (see _cell_offsets_for).
+    Off-lattice bases (transpose convs, misaligned strided minima)
+    previously fell back to per-element lookups — 4.3 ms of a MinkUNet34
+    coordinate phase vs ~0.7 ms on this path.
     """
     row_grid, mins, grid_shape, ts = probe
+    del base_stride  # kept for call-site compat; fast path is universal
     offsets = np.asarray(offsets)  # static host constants by construction
     K = int(offsets.shape[0])
-    cells = int(np.prod(grid_shape))
     C_out = out_coords.shape[0]
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
-    on_lattice = base_stride is not None and all(
-        int(b) % int(t) == 0 for b, t in zip(base_stride, ts)
-    )
-    cell_offs = _cell_offsets_for(offsets, ts, grid_shape)
-    # Extend the grid by the offsets' own |Δ| so boundary bases (below /
+    cell_offs, req_cls = _cell_offsets_for(offsets, ts, grid_shape)
+    # Extend the grid by the offsets' own |δ| so boundary bases (below /
     # above the probed bbox — misaligned strided minima, coarse transpose
     # bases) keep a representable cell; without this their rows silently
     # go all -1 while real matches exist.
@@ -344,7 +363,7 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
     cells_ext = int(np.prod(ext_shape))
     chunk = min(K, max(_MAX_SHIFT_STACK // max(cells_ext, 1), 0))
-    if not on_lattice or chunk == 0:
+    if chunk == 0:  # grid too large for even one shifted copy
         q = out_coords[None, :, :] + jnp.asarray(offsets)[:, None, :]
         rows = grid_lookup(row_grid, mins, grid_shape, ts, q)
         return jnp.where(valid_out, rows, -1)
@@ -356,15 +375,21 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     pad_units = jnp.asarray(
         [pads[0]] + [p * int(t) for p, t in zip(pads[1:], ts)], jnp.int32
     )
-    cell_idx = _cells_of(out_coords, mins - pad_units, ext_shape, ts)
+    cell_idx, row_cls = _cells_of(out_coords, mins - pad_units, ext_shape, ts)
     parts = []
     for i in range(0, K, chunk):  # chunked: bounds transient stack memory
         stack = _shifted_grid_stack(
             row_grid, grid_shape, pads, cell_offs[i : i + chunk]
         )
-        parts.append(jnp.take(stack, cell_idx, axis=0, mode="clip"))
+        # sentinel cell (== cells_ext, out-of-grid) is OOB here: fill mode
+        # yields the -1 row directly (cell_idx is never negative, so the
+        # fill-mode negative-wraparound trap does not apply)
+        parts.append(
+            jnp.take(stack, cell_idx, axis=0, mode="fill", fill_value=-1)
+        )
     rows = jnp.concatenate(parts, axis=-1).T  # (K, C_out)
-    return jnp.where(valid_out, rows, -1)
+    cls_ok = row_cls[None, :] == jnp.asarray(req_cls, jnp.int32)[:, None]
+    return jnp.where(valid_out & cls_ok, rows, -1)
 
 
 def _build_in_idx(
