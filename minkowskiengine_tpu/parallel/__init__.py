@@ -1,4 +1,4 @@
-"""Multi-chip parallelism utilities (mesh data/tensor parallelism)."""
+"""Multi-chip parallelism utilities (mesh data/tensor/spatial parallelism)."""
 
 from .data_parallel import (
     all_reduce_metrics,
@@ -7,5 +7,13 @@ from .data_parallel import (
     make_per_device_geometry_step,
     replicate,
     shard_batch,
+)
+from .spatial import (
+    make_spatial_mesh,
+    required_halo,
+    shard_rows,
+    spatial_conv_apply,
+    spatial_global_avg,
+    spatial_global_sum,
 )
 from .tensor_parallel import apply_tensor_parallelism, make_tp_mesh
