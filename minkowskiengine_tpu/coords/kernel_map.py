@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -327,6 +328,131 @@ def _cell_offsets_for(offsets, tensor_stride, grid_shape):
 # even when the traced replay remats the build.
 _MAX_SHIFT_STACK = 32 * 1024 * 1024
 
+# kernel-map grid-build strategy: "slices" (per-group (1, W)-window
+# gathers from the flat padded grid — no grid-sized temps) or "stack"
+# (K shifted grid copies + transpose).  Overridable for A/B measurement;
+# default pending TPU timing (the stack is the measured-safe baseline).
+_GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD", "stack")
+
+
+def _window_groups(cell_offs):
+    """Offsets grouped by their cell delta on every axis but the last:
+    [(prefix δ, z0, W, [(k, col)])] — each group is ONE (1, W)-slice
+    gather; offset k reads column (δ_z - z0) of its group's window."""
+    groups = {}
+    for k, d in enumerate(cell_offs):
+        groups.setdefault(tuple(d[:-1]), []).append((k, int(d[-1])))
+    out = []
+    for pre, members in sorted(groups.items()):
+        zs = [dz for _, dz in members]
+        z0 = min(zs)
+        out.append(
+            (pre, z0, max(zs) - z0 + 1, [(k, dz - z0) for k, dz in members])
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _cells_of_padded(coords, ext_mins, ext_shape, pads, tensor_stride):
+    """(flat base position in the 2×pads-per-side padded grid buffer,
+    in-extended-grid bool, residue class id) per coordinate row.
+
+    The padded buffer has extents ``ext_shape + 2·pads`` (the extended
+    grid plus one more ``pads`` margin per side), so every in-extended-
+    grid base's full δ-window (|δ| ≤ pads) is statically in-bounds — the
+    slice gathers below need no per-group bounds checks."""
+    ext = ext_shape[1:]
+    b = coords[:, 0] - ext_mins[0]
+    rel = coords[:, 1:] - ext_mins[1:]
+    tsv = jnp.asarray(tensor_stride, jnp.int32)
+    div = rel // tsv
+    p = rel % tsv
+    ok = (
+        (b >= 0)
+        & (b < ext_shape[0])
+        & jnp.all((div >= 0) & (div < jnp.asarray(ext, jnp.int32)), axis=-1)
+    )
+    flat = b
+    for d in range(len(ext)):
+        flat = flat * (ext[d] + 2 * pads[1 + d]) + (div[:, d] + pads[1 + d])
+    cls = jnp.zeros_like(b)
+    for d, t in enumerate(tensor_stride):
+        cls = cls * int(t) + p[:, d]
+    return flat, ok, cls
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _padded_flat_grid(row_grid, grid_shape, pads):
+    """The row grid padded by 2×pads cells of -1 per axis side, flat."""
+    cells = int(np.prod(grid_shape))
+    g = row_grid[:cells].reshape(grid_shape)
+    g3 = jnp.pad(
+        g, [(0, 0)] + [(2 * p, 2 * p) for p in pads[1:]], constant_values=-1
+    )
+    return g3.reshape(-1)
+
+
+def _padded_grid_shape(grid_shape, pads):
+    return (grid_shape[0],) + tuple(
+        n + 4 * p for n, p in zip(grid_shape[1:], pads[1:])
+    )
+
+
+def _build_in_idx_slices(probe, out_coords, n_out, offsets):
+    """Sliced-window variant of the shifted-grid build — bit-identical.
+
+    Instead of materializing K shifted copies of the grid (the
+    (cells, K) stack + its lane-padded transpose dominated the traced
+    coordinate phase at ~10 ms), group offsets by their cell delta on
+    every axis but the last and fetch each group with ONE (1, W)-slice
+    gather from the flat padded grid: a k=3 map is 9 gathers of
+    (C_out, 3) windows — no grid-sized temps at all, and the flat start
+    index is ``base + constant`` per group (strides are static).
+    """
+    row_grid, mins, grid_shape, ts = probe
+    offsets = np.asarray(offsets)
+    K = int(offsets.shape[0])
+    C_out = out_coords.shape[0]
+    valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
+    cell_offs, req_cls = _cell_offsets_for(offsets, ts, grid_shape)
+    pads = _pads_for_offsets(cell_offs, len(grid_shape))
+    ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
+    pad_units = jnp.asarray(
+        [pads[0]] + [p * int(t) for p, t in zip(pads[1:], ts)], jnp.int32
+    )
+    flat_g3 = _padded_flat_grid(row_grid, grid_shape, pads)
+    g3_shape = _padded_grid_shape(grid_shape, pads)
+    n3 = int(np.prod(g3_shape))
+    base, ok, row_cls = _cells_of_padded(
+        out_coords, mins - pad_units, ext_shape, pads, ts
+    )
+    # static per-dim strides of the padded buffer
+    strides = [1] * len(g3_shape)
+    for d in range(len(g3_shape) - 2, -1, -1):
+        strides[d] = strides[d + 1] * int(g3_shape[d + 1])
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    rows_k = [None] * K
+    for pre, z0, W, members in _window_groups(cell_offs):
+        const = z0
+        for d, pd in enumerate(pre):
+            const += int(pd) * strides[d]
+        starts = jnp.where(ok, base + const, n3)  # OOB start ⇒ fill row
+        win = jax.lax.gather(
+            flat_g3,
+            starts[:, None],
+            dnums,
+            slice_sizes=(W,),
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+            fill_value=-1,
+        )  # (C_out, W)
+        for k, col in members:
+            rows_k[k] = win[:, col]
+    rows = jnp.stack(rows_k, axis=0)  # (K, C_out)
+    cls_ok = row_cls[None, :] == jnp.asarray(req_cls, jnp.int32)[:, None]
+    return jnp.where(valid_out & cls_ok, rows, -1)
+
 
 def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     """Grid-probe variant of ``_build_in_idx`` — bit-identical results.
@@ -353,6 +479,8 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     offsets = np.asarray(offsets)  # static host constants by construction
     K = int(offsets.shape[0])
     C_out = out_coords.shape[0]
+    if _GRID_BUILD_MODE == "slices":
+        return _build_in_idx_slices(probe, out_coords, n_out, offsets)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
     cell_offs, req_cls = _cell_offsets_for(offsets, ts, grid_shape)
     # Extend the grid by the offsets' own |δ| so boundary bases (below /
