@@ -15,5 +15,6 @@ from .spatial import (
     spatial_conv_apply,
     spatial_global_avg,
     spatial_global_sum,
+    spatial_masked_moments,
 )
 from .tensor_parallel import apply_tensor_parallelism, make_tp_mesh

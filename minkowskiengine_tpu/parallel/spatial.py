@@ -63,6 +63,7 @@ __all__ = [
     "spatial_conv_apply",
     "spatial_global_avg",
     "spatial_global_sum",
+    "spatial_masked_moments",
 ]
 
 
@@ -289,6 +290,28 @@ def spatial_conv_apply(
     return _spatial_conv(
         feats, kernel, kmap, mesh, axis_name, halo_f, halo_b, gather_all
     )
+
+
+def spatial_masked_moments(feats, valid, *, mesh, axis_name: str = "space"):
+    """(mean, var) over VALID sharded rows — the SyncBatchNorm statistics
+    for spatially sharded features (mirrors nn/norm.py's psum SyncBN, but
+    over the 'space' axis of one cloud instead of the batch axis)."""
+
+    def local_fn(f_blk, v_blk):
+        m = v_blk.astype(f_blk.dtype)[:, None]
+        n = jax.lax.psum(jnp.sum(m), axis_name)
+        s = jax.lax.psum(jnp.sum(f_blk * m, axis=0), axis_name)
+        s2 = jax.lax.psum(jnp.sum(f_blk * f_blk * m, axis=0), axis_name)
+        mean = s / jnp.maximum(n, 1.0)
+        return mean, jnp.maximum(s2 / jnp.maximum(n, 1.0) - mean * mean, 0.0)
+
+    return _shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(feats, valid)
 
 
 def spatial_global_sum(feats, batch_ids, n_batches, *, mesh,

@@ -121,6 +121,60 @@ def test_strided_map_spatial(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_multilayer_network_sharded(setup):
+    """conv → SyncBN(space) → relu → strided conv → global avg: a whole
+    small network forward over sharded rows matches single-device."""
+    x, km, W = setup
+    mgr = x.coordinate_manager
+    key = x.coordinate_map_key
+    okey2 = mgr.stride(key, 2)
+    km2 = mgr.kernel_map(key, okey2, kernel_size=2, stride=2)
+    W2 = jax.random.normal(jax.random.PRNGKey(2), (8, 16, 8), jnp.float32)
+    mesh = make_spatial_mesh(8)
+    cap = x.capacity
+    valid = jnp.asarray(np.arange(cap) < x.size)
+    n2 = mgr.size(okey2)
+    cap2 = mgr.capacity(okey2)
+    valid2_np = np.arange(cap2) < n2
+    coords2 = np.asarray(mgr.get_coordinate_map(okey2).coordinates)
+    bids2 = jnp.asarray(
+        np.where(valid2_np, coords2[:, 0], -1).astype(np.int32)
+    )
+
+    from minkowskiengine_tpu.parallel.spatial import spatial_masked_moments
+
+    def net_sharded(f):
+        h, d1 = spatial_conv_apply(f, W, km, mesh=mesh)
+        mean, var = spatial_masked_moments(h, valid, mesh=mesh)
+        h = (h - mean[None, :]) * jax.lax.rsqrt(var[None, :] + 1e-5)
+        h = jnp.where(valid[:, None], jax.nn.relu(h), 0.0)
+        h2, d2 = spatial_conv_apply(h, W2, km2, mesh=mesh)
+        return spatial_global_avg(h2, bids2, 2, mesh=mesh), d1 + d2
+
+    def net_ref(f):
+        h = sparse_conv(f, W, km.in_idx, km.out_idx_t)
+        m = valid.astype(jnp.float32)[:, None]
+        n = jnp.sum(m)
+        mean = jnp.sum(h * m, 0) / n
+        var = jnp.sum(h * h * m, 0) / n - mean * mean
+        h = (h - mean[None, :]) * jax.lax.rsqrt(var[None, :] + 1e-5)
+        h = jnp.where(valid[:, None], jax.nn.relu(h), 0.0)
+        h2 = sparse_conv(h, W2, km2.in_idx, km2.out_idx_t)
+        out = []
+        for b in range(2):
+            sel = (bids2 == b).astype(jnp.float32)[:, None]
+            out.append(jnp.sum(h2 * sel, 0) / jnp.maximum(jnp.sum(sel), 1.0))
+        return jnp.stack(out)
+
+    f = shard_rows(x.padded_features, mesh)
+    out_s, dropped = net_sharded(f)
+    assert int(dropped) == 0
+    out_r = net_ref(x.padded_features)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_r), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_global_pool_sharded(setup):
     x, _, _ = setup
     mesh = make_spatial_mesh(8)
