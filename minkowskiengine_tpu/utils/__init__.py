@@ -14,3 +14,8 @@ from .quantization import (
 from .checkpoint import load_checkpoint, save_checkpoint
 from .profiling import Timer, named_scope, timer, trace
 from .summary import summary
+from .torch_import import (
+    export_reference_state_dict,
+    load_reference_state_dict,
+    reference_named_params,
+)
