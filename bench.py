@@ -93,6 +93,24 @@ def main():
 
     results = {}
 
+    def flush():
+        """Persist partial results NOW — the TPU tunnel can die mid-run
+        (observed: its compile server vanished after the headline), and a
+        crashed section must not cost the metrics already measured."""
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(results, f, indent=2)
+
+    from contextlib import contextmanager
+
+    @contextmanager
+    def section(name):
+        try:
+            yield
+        except Exception as e:
+            log(f"section {name} FAILED: {e!r}")
+        finally:
+            flush()
+
     # ---- tunnel sync latency (context for the eager/cold metrics) -------
     # Every isolated dispatch+sync through this box's TPU tunnel pays
     # ~34 ms of completion latency regardless of work (measured pristine
@@ -270,134 +288,145 @@ def main():
         ),
         flush=True,
     )
+    flush()  # headline metrics are on disk even if the tunnel dies now
 
     # ---- larger surface cloud (50k): slab-span stress -------------------
     # Real scans are 2-D surfaces in 3-D; per-tile index spans differ wildly
     # from uniform-random clouds.  This validates the outlier-tolerant slab
     # ladder at ~2× the headline size.
-    s_coords, s_feats = surface_cloud("50k")
-    log(f"surface cloud: {len(s_coords)} voxels (room scan @ 5cm)")
-    xs = ME.SparseTensor(s_feats, s_coords)
-    ys = conv(xs)  # warm maps for the surface geometry
-    kmap_s = xs.coordinate_manager.kernel_map(
-        xs.coordinate_map_key, ys.coordinate_map_key, kernel_size=3, stride=1
-    )
-    fpad_s = xs.padded_features
-
-    @jax.jit
-    def conv_many_surface(f, w):
-        acc = 0.0
-        for i in range(REPS):
-            acc = acc + sparse_conv_kmap(f * scales[i], w, kmap_s)[0, 0]
-        return acc
-
-    ts_min, _ = timeit(
-        lambda: jax.block_until_ready(
-            [conv_many_surface(fpad_s, kernel) for _ in range(CHAINS)]
+    with section("surface-50k"):
+        s_coords, s_feats = surface_cloud("50k")
+        log(f"surface cloud: {len(s_coords)} voxels (room scan @ 5cm)")
+        xs = ME.SparseTensor(s_feats, s_coords)
+        ys = conv(xs)  # warm maps for the surface geometry
+        kmap_s = xs.coordinate_manager.kernel_map(
+            xs.coordinate_map_key, ys.coordinate_map_key,
+            kernel_size=3, stride=1,
         )
-    )
-    ts_min = ts_min / (CHAINS * REPS)
-    results["single_conv_fwd_k3_surface_s"] = ts_min
-    results["surface_cloud_voxels"] = len(s_coords)
-    log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
+        fpad_s = xs.padded_features
 
-    # measure the dense-grid path too when the dispatch would consider it
-    # (with outlier-tolerant slabs the sparse kernel should now win here)
-    plan_s = xs.coordinate_manager.dense_plan(xs.coordinate_map_key)
-    if dense_conv_beneficial(
-        plan_s, xs.capacity, 27, 3, 32,
-        cached_slab_size=(
-            kmap_s.fwd_slab.slab_size if kmap_s.fwd_slab else None
-        ),
-    ):
         @jax.jit
-        def conv_many_surface_dense(f, w):
+        def conv_many_surface(f, w):
             acc = 0.0
             for i in range(REPS):
-                acc = acc + dense_conv(
-                    f * scales[i], w, plan_s, (3, 3, 3), (1, 1, 1)
-                )[0, 0]
+                acc = acc + sparse_conv_kmap(f * scales[i], w, kmap_s)[0, 0]
             return acc
 
-        tsd_min, _ = timeit(
+        ts_min, _ = timeit(
             lambda: jax.block_until_ready(
-                [conv_many_surface_dense(fpad_s, kernel) for _ in range(CHAINS)]
+                [conv_many_surface(fpad_s, kernel) for _ in range(CHAINS)]
             )
         )
-        tsd_min = tsd_min / (CHAINS * REPS)
-        results["single_conv_fwd_k3_surface_dense_s"] = tsd_min
-        log(
-            f"single conv fwd (surface cloud, dense dispatch): "
-            f"min {tsd_min*1e3:.3f} ms"
-        )
-        results["single_conv_fwd_k3_surface_best_s"] = min(ts_min, tsd_min)
+        ts_min = ts_min / (CHAINS * REPS)
+        results["single_conv_fwd_k3_surface_s"] = ts_min
+        results["surface_cloud_voxels"] = len(s_coords)
+        log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
+
+        # measure the dense-grid path too when the dispatch would consider
+        # it (with outlier-tolerant slabs the sparse kernel should win)
+        plan_s = xs.coordinate_manager.dense_plan(xs.coordinate_map_key)
+        if dense_conv_beneficial(
+            plan_s, xs.capacity, 27, 3, 32,
+            cached_slab_size=(
+                kmap_s.fwd_slab.slab_size if kmap_s.fwd_slab else None
+            ),
+        ):
+            @jax.jit
+            def conv_many_surface_dense(f, w):
+                acc = 0.0
+                for i in range(REPS):
+                    acc = acc + dense_conv(
+                        f * scales[i], w, plan_s, (3, 3, 3), (1, 1, 1)
+                    )[0, 0]
+                return acc
+
+            tsd_min, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [conv_many_surface_dense(fpad_s, kernel)
+                     for _ in range(CHAINS)]
+                )
+            )
+            tsd_min = tsd_min / (CHAINS * REPS)
+            results["single_conv_fwd_k3_surface_dense_s"] = tsd_min
+            log(
+                f"single conv fwd (surface cloud, dense dispatch): "
+                f"min {tsd_min*1e3:.3f} ms"
+            )
+            results["single_conv_fwd_k3_surface_best_s"] = min(ts_min, tsd_min)
 
     # ---- 128-channel conv + useful MFU ----------------------------------
     # "useful" = the GEMM FLOPs a perfect sparse conv needs
     # (2·pairs·Cin·Cout); the one-hot gather FLOPs the kernel spends on
     # top are implementation tax.  BASELINE.json names this metric.
-    k128 = jnp.asarray(
-        np.random.RandomState(2).randn(27, 128, 128).astype(np.float32)
-    ) * 0.05
-    for tag, xt, km_t in (("uniform", x, kmap), ("surface26k", xh, kmap_h)):
-        f128 = jnp.concatenate([xt.padded_features] * 43, axis=1)[:, :128]
+    with section("conv128-mfu"):
+        k128 = jnp.asarray(
+            np.random.RandomState(2).randn(27, 128, 128).astype(np.float32)
+        ) * 0.05
+        for tag, xt, km_t in (("uniform", x, kmap), ("surface26k", xh, kmap_h)):
+            f128 = jnp.concatenate([xt.padded_features] * 43, axis=1)[:, :128]
 
-        @jax.jit
-        def conv128_chain(f, w, km_=km_t):
-            o = f
-            for _ in range(REPS):
-                o = sparse_conv_kmap(o, w, km_)
-            return o
+            @jax.jit
+            def conv128_chain(f, w, km_=km_t):
+                o = f
+                for _ in range(REPS):
+                    o = sparse_conv_kmap(o, w, km_)
+                return o
 
-        t128, _ = timeit(
-            lambda: jax.block_until_ready(
-                [conv128_chain(f128, k128) for _ in range(CHAINS)]
-            ),
-            warmup=2, iters=5,
-        )
-        t128 = t128 / (CHAINS * REPS)
-        pairs = int(np.sum(np.asarray(km_t.in_idx) >= 0))
-        useful_tflops = 2 * pairs * 128 * 128 / t128 / 1e12
-        results[f"single_conv_fwd_k3_128ch_{tag}_s"] = t128
-        results[f"conv128_useful_tflops_{tag}"] = useful_tflops
-        results[f"conv128_useful_mfu_{tag}"] = useful_tflops / 197.0
-        log(
-            f"conv 128ch k=3 ({tag}): {t128*1e3:.3f} ms — useful "
-            f"{useful_tflops:.1f} TFLOP/s ({100*useful_tflops/197.0:.1f}% MFU)"
-        )
+            t128, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [conv128_chain(f128, k128) for _ in range(CHAINS)]
+                ),
+                warmup=2, iters=5,
+            )
+            t128 = t128 / (CHAINS * REPS)
+            pairs = int(np.sum(np.asarray(km_t.in_idx) >= 0))
+            useful_tflops = 2 * pairs * 128 * 128 / t128 / 1e12
+            results[f"single_conv_fwd_k3_128ch_{tag}_s"] = t128
+            results[f"conv128_useful_tflops_{tag}"] = useful_tflops
+            results[f"conv128_useful_mfu_{tag}"] = useful_tflops / 197.0
+            log(
+                f"conv 128ch k=3 ({tag}): {t128*1e3:.3f} ms — useful "
+                f"{useful_tflops:.1f} TFLOP/s "
+                f"({100*useful_tflops/197.0:.1f}% MFU)"
+            )
 
     # ---- e2e including coordinate-map + kernel-map build (cold) ---------
-    def run_cold():
-        mgr = ME.CoordinateManager(D=3)
-        xt = ME.SparseTensor(feats, coords, coordinate_manager=mgr)
-        yt = conv(xt)
-        yt.padded_features.block_until_ready()
-
-    tc_min, _ = timeit(run_cold, warmup=2, iters=5)
-    results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
     sync_floor = 3 * results.get("tunnel_sync_latency_s", 0.0)
-    results["single_conv_fwd_k3_cold_e2e_net_s"] = max(tc_min - sync_floor, 0.0)
-    log(
-        f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms "
-        f"(~{sync_floor*1e3:.0f} ms of that is 3x tunnel sync latency; "
-        f"net {max(tc_min - sync_floor, 0.0)*1e3:.1f} ms)"
-    )
+    with section("cold-e2e"):
+        def run_cold():
+            mgr = ME.CoordinateManager(D=3)
+            xt = ME.SparseTensor(feats, coords, coordinate_manager=mgr)
+            yt = conv(xt)
+            yt.padded_features.block_until_ready()
+
+        tc_min, _ = timeit(run_cold, warmup=2, iters=5)
+        results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
+        results["single_conv_fwd_k3_cold_e2e_net_s"] = max(
+            tc_min - sync_floor, 0.0
+        )
+        log(
+            f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms "
+            f"(~{sync_floor*1e3:.0f} ms of that is 3x tunnel sync latency; "
+            f"net {max(tc_min - sync_floor, 0.0)*1e3:.1f} ms)"
+        )
 
     # ---- kernel map build alone -----------------------------------------
-    def run_kmap():
-        mgr = ME.CoordinateManager(D=3)
-        key, _ = mgr.insert_and_map(coords)
-        okey = mgr.stride(key, 1)
-        km = mgr.kernel_map(key, okey, kernel_size=3, stride=1)
-        km.in_idx.block_until_ready()
+    with section("kmap-build"):
+        def run_kmap():
+            mgr = ME.CoordinateManager(D=3)
+            key, _ = mgr.insert_and_map(coords)
+            okey = mgr.stride(key, 1)
+            km = mgr.kernel_map(key, okey, kernel_size=3, stride=1)
+            km.in_idx.block_until_ready()
 
-    tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
-    results["kernel_map_build_k3_s"] = tk_min
-    results["kernel_map_build_k3_net_s"] = max(tk_min - sync_floor, 0.0)
-    log(
-        f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms "
-        f"(net of 3x tunnel sync: {max(tk_min - sync_floor, 0.0)*1e3:.1f} ms)"
-    )
+        tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
+        results["kernel_map_build_k3_s"] = tk_min
+        results["kernel_map_build_k3_net_s"] = max(tk_min - sync_floor, 0.0)
+        log(
+            f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms "
+            f"(net of 3x tunnel sync: "
+            f"{max(tk_min - sync_floor, 0.0)*1e3:.1f} ms)"
+        )
 
     # ---- MinkUNet34 fwd+bwd points/sec -----------------------------------
     try:
@@ -448,6 +477,7 @@ def main():
         pps = len(coords) / tu_min
         results["minkunet34_fwd_bwd_s"] = tu_min
         results["minkunet34_points_per_sec"] = pps
+        flush()
         log(f"MinkUNet34 fwd+bwd: min {tu_min*1e3:.1f} ms → {pps:,.0f} points/s")
 
         # ---- MinkUNet34 on the HEADLINE (room-scan surface) geometry ----
@@ -486,6 +516,7 @@ def main():
         pps_h = len(h_coords) / tu_h
         results["minkunet34_surface_fwd_bwd_s"] = tu_h
         results["minkunet34_surface_points_per_sec"] = pps_h
+        flush()
         log(
             f"MinkUNet34 fwd+bwd (surface 26k): min {tu_h*1e3:.1f} ms → "
             f"{pps_h:,.0f} points/s"
@@ -624,6 +655,7 @@ def main():
                 pipe_times.append((time.perf_counter() - t0) / len(padded))
             tp_min = float(np.min(pipe_times))
             results[f"minkunet34_fresh{tag}_pipelined_s"] = tp_min
+            flush()
             results[f"minkunet34_fresh{tag}_pipelined_points_per_sec"] = (
                 npts / tp_min
             )
