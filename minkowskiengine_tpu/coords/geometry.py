@@ -177,6 +177,20 @@ class CompiledReplayer:
         self._version = 0  # bumped on ratchet: old jits are stale
         self._jits = {}
 
+    def adopt(self, replayer: "GeometryReplayer"):
+        """Take over a warmed ``GeometryReplayer``'s recipe and ratcheted
+        floors (the replayer keeps its own floor dicts — they are NOT
+        written back to the recorded manager).  Invalidates compiled
+        replays traced under older floors."""
+        self.oplog = list(replayer.oplog)
+        self.cap_floors = dict(replayer.cap_floors)
+        self.slab_floors = dict(replayer.slab_floors)
+        self.grid_floors = dict(replayer.grid_floors)
+        self.join_floors = dict(replayer.join_floors)
+        self._version += 1
+        self._jits = {}
+        return self
+
     # -- traceable core ----------------------------------------------------
     def trace(self, coords_padded, n_valid, feats_padded=None):
         """Traceable: call inside your own jit to fuse the coordinate phase
