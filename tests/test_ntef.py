@@ -46,7 +46,11 @@ def _mk_map(cap, K, n, seed=0, span=40, density=0.5, ring=False):
 
 
 @pytest.mark.parametrize("ring", [False, True])  # union / ring kernel
-@pytest.mark.parametrize("n", [1, 255, 256, 700, 1024])
+@pytest.mark.parametrize(
+    "n",
+    [700]
+    + [pytest.param(v, marks=pytest.mark.slow) for v in (1, 255, 256, 1024)],
+)
 def test_fwd_tail_skip_exact(ring, n):
     cap, K, Cin, Cout = 1024, 8, 3, 8
     sm = _mk_map(cap, K, n, ring=ring)

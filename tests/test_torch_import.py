@@ -41,6 +41,7 @@ def test_resnet_reference_names():
     assert any(".downsample.1.bn.weight" in n for n in names)
 
 
+@pytest.mark.slow
 def test_round_trip_restores_weights_and_outputs():
     net_a = MinkUNet14A(3, 5, D=3, rngs=nnx.Rngs(0))
     net_b = MinkUNet14A(3, 5, D=3, rngs=nnx.Rngs(7))
@@ -73,6 +74,7 @@ def test_round_trip_restores_weights_and_outputs():
     )
 
 
+@pytest.mark.slow
 def test_torch_tensor_inputs():
     torch = pytest.importorskip("torch")
     net_a = ResNet14(3, 4, D=3, rngs=nnx.Rngs(0))
