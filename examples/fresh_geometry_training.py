@@ -85,30 +85,40 @@ def main():
     opt = optax.sgd(1e-2)
     opt_state = opt.init(nnx.state(net, nnx.Param))
 
-    @jax.jit
-    def train_step(state, opt_state, coords_p, n, feats_p, labels):
-        geo, fp, ok = crep.trace(coords_p, n, feats_p)
-        model = nnx.merge(graphdef, state)
+    def make_train_step():
+        # A FRESH jitted closure per (re)build: jax.jit caches on input
+        # shapes, not on crep's mutated floors — re-jitting after
+        # crep.adopt() is what makes the ratchet-and-retry loop actually
+        # pick up the new floors (see CLAUDE.md's stale-jit-cache trap).
+        @jax.jit
+        def train_step(state, opt_state, coords_p, n, feats_p, labels):
+            geo, fp, ok = crep.trace(coords_p, n, feats_p)
+            model = nnx.merge(graphdef, state)
 
-        def loss_fn(m):
-            vmgr = ME.CoordinateManager.from_geometry(geo)
-            xt = ME.SparseTensor(
-                fp, coordinate_map_key=geo.entry_key, coordinate_manager=vmgr
-            )
-            logits = m(xt).padded_features
-            mask = xt.valid_row_mask.astype(jnp.float32)
-            losses = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels[: logits.shape[0]]
-            )
-            return jnp.sum(losses * mask) / jnp.sum(mask)
+            def loss_fn(m):
+                vmgr = ME.CoordinateManager.from_geometry(geo)
+                xt = ME.SparseTensor(
+                    fp, coordinate_map_key=geo.entry_key,
+                    coordinate_manager=vmgr,
+                )
+                logits = m(xt).padded_features
+                mask = xt.valid_row_mask.astype(jnp.float32)
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels[: logits.shape[0]]
+                )
+                return jnp.sum(losses * mask) / jnp.sum(mask)
 
-        loss, grads = nnx.value_and_grad(loss_fn)(model)
-        params = nnx.state(model, nnx.Param)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        nnx.update(model, params)
-        _, state = nnx.split(model)
-        return state, opt_state, loss, ok
+            loss, grads = nnx.value_and_grad(loss_fn)(model)
+            params = nnx.state(model, nnx.Param)
+            updates, new_opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            nnx.update(model, params)
+            _, state = nnx.split(model)
+            return state, new_opt_state, loss, ok
+
+        return train_step
+
+    train_step = make_train_step()
 
     rng = np.random.RandomState(0)
     t0 = time.perf_counter()
@@ -123,9 +133,12 @@ def main():
         )
         if not bool(ok):
             # a floor was violated by this geometry: sync-replay it once
-            # (ratchets the floors), rebuild the compiled replayer, retry
+            # (ratchets the floors), adopt them, and re-jit the step —
+            # the OLD jitted closure would silently reuse the executable
+            # traced under the stale floors
             replayer(c)
             crep.adopt(replayer)
+            train_step = make_train_step()
             gstate, opt_state, loss, ok = train_step(
                 gstate, opt_state, cp, n, fp, labels
             )

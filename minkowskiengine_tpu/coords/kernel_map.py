@@ -51,8 +51,9 @@ class KernelMap:
     ``fwd_slab`` / ``bwd_slab`` are the tile-slab decompositions consumed by
     the fused Pallas conv kernel (ops/pallas/conv_kernel.py); they exist for
     maps built by ``build_kernel_map`` (whose per-offset indices for a tile
-    of consecutive rows cluster in a small window — canonical Morton key
-    order is spatially local and an offset is a bounded spatial shift) and
+    of consecutive rows cluster in a small window — the canonical sort
+    order is spatially local along its scan order and an offset is a
+    bounded spatial shift; span-tail pairs ride the outlier list) and
     are None for stride-map-derived pooling maps (a stride map's rows
     reference a map at a different resolution, where locality is weaker).
     """
@@ -196,8 +197,6 @@ def _pads_for_offsets(cell_offsets, ndim):
     """
     pads = [0] * ndim
     for off in cell_offsets:
-        if off is None:
-            continue
         for ax, d in enumerate(off):
             pads[ax] = max(pads[ax], abs(int(d)))
     return tuple(pads)
@@ -214,9 +213,9 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
 
     shifted[c, k] = grid_ext[c ⊕ cell_offsets[k]] with per-dimension
     out-of-bounds → -1 (NOT flat wraparound: shifts run per axis on the
-    N-D view).  A None entry in cell_offsets marks an offset that is not a
-    tensor-stride multiple (it can never match a map row) → all -1.
-    Cell indices are relative to the EXTENDED grid (mins - pads·ts).
+    N-D view).  Cell indices are relative to the EXTENDED grid
+    (mins - pads·ts); per-row offset VALIDITY (residue classes) is the
+    caller's mask, not encoded here.
 
     Implementation note: the grid is padded by 2×pads — the margin where
     probe BASES may live (|Δ| outside the bbox) plus those bases' own |Δ|
@@ -252,10 +251,7 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
     Kc = len(cell_offsets)
     rows = []
     for off in cell_offsets:
-        if off is None:
-            rows.append(jnp.full((1,) + ext_shape, -1, jnp.int32))
-            continue
-        # slice start for offset Δ: pads + Δ ∈ [0, 2·pads] per axis
+        # slice start for offset δ: pads + δ ∈ [0, 2·pads] per axis
         starts = tuple(p + d for p, d in zip(pads, off))
         limits = tuple(s + n for s, n in zip(starts, ext_shape))
         rows.append(jax.lax.slice(g2, starts, limits)[None])

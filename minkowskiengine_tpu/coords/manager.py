@@ -1357,17 +1357,19 @@ class CoordinateManager:
         for cache_key, fs, bs in d["slabs"]:
             km = self._kernel_maps.get(cache_key)
             for slab, span2 in ((km.fwd_slab, fs), (km.bwd_slab, bs)):
-                # a capacity-sized slab always covers (start pinned to 0);
-                # otherwise require the from_span alignment margin — or,
-                # for outlier-tolerant slabs, that the dropped pairs fit
-                # the correction-list capacity
+                # whenever an outlier list exists, its count must fit the
+                # correction capacity — INCLUDING capacity-sized slabs:
+                # sub-windows can drop pairs even when the slab covers
+                # everything (a capacity-sized single-tier slab covers by
+                # construction, but two-tier windows do not).  Without an
+                # outlier list, a sub-capacity slab needs the from_span
+                # alignment margin.
                 if slab is None:
                     continue
-                if slab.slab_size < slab.capacity_in:
-                    if slab.ov_count is not None:
-                        oks.append(slab.ov_count <= jnp.int32(slab.ov_cap))
-                    else:
-                        oks.append(span2[0] + 15 <= jnp.int32(slab.slab_size))
+                if slab.ov_count is not None:
+                    oks.append(slab.ov_count <= jnp.int32(slab.ov_cap))
+                elif slab.slab_size < slab.capacity_in:
+                    oks.append(span2[0] + 15 <= jnp.int32(slab.slab_size))
                 if 0 < slab.union_size < slab.capacity_in:
                     oks.append(
                         span2[1] + slab.slab_size + 16

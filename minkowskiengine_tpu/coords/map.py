@@ -85,10 +85,21 @@ class CoordinateMap:
 
     @property
     def key_hi(self) -> jnp.ndarray:
+        """Most-significant key lane (two-lane / D≤6 maps only — a
+        three-lane map's key does not fit (hi, lo); use key_lanes)."""
+        if len(self.key_lanes) != 2:
+            raise NotImplementedError(
+                f"{len(self.key_lanes)}-lane keys: use key_lanes"
+            )
         return self.key_lanes[0]
 
     @property
     def key_lo(self) -> jnp.ndarray:
+        """Least-significant key lane (two-lane maps only; see key_hi)."""
+        if len(self.key_lanes) != 2:
+            raise NotImplementedError(
+                f"{len(self.key_lanes)}-lane keys: use key_lanes"
+            )
         return self.key_lanes[1]
 
     @property

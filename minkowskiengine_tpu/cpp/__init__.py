@@ -58,7 +58,14 @@ def load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
-            return None
+            # a stale/foreign-platform binary (e.g. copied between
+            # machines): rebuild from source once before giving up
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
         i64, i32p, i64p, f32p, f64p = (
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),

@@ -5,14 +5,17 @@ Why this shape: XLA lowers row gathers (`jnp.take`) to fine-grained DMAs —
 channel width (measured on v5e), 50–1000× off roofline.  The TPU-native fix
 exploits a structural invariant of this engine's kernel maps:
 
-  * coordinate maps are stored in canonical Morton (Z-order) key order
-    (coords/keys.py): consecutive rows are spatially local, and a kernel
-    offset only reaches bounded spatial neighbors, so **the gather indices
-    of a T-row output tile cluster in a small window of input rows**;
+  * coordinate maps are sorted by canonical key (batch-major
+    LEXICOGRAPHIC; coords/keys.py — Morton was measured and REJECTED,
+    see the keys.py header): consecutive rows are spatially local along
+    the scan order, and a kernel offset only reaches bounded spatial
+    neighbors, so **the gather indices of a T-row output tile cluster in
+    a small window of input rows**;
   * hence the inputs needed by a T-row output tile live in a contiguous
-    slab of a few×T input rows — on surfaces as well as volumes (under the
-    old lexicographic order, surface-scan slabs exploded to thousands of
-    rows because a row-major walk has no 2-D locality).
+    slab of a few×T input rows.  On 2-D surface scans the span
+    DISTRIBUTION has a long tail (scanline wraps); the slab is sized at
+    a tail rung and the rare outside pairs ride the outlier-correction
+    list rather than inflating S (see SlabMap.ov_*).
 
 The kernel therefore runs, per (output-tile, offset) grid step:
 

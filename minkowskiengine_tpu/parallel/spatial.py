@@ -86,6 +86,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# measured halos cached per kernel map (keyed by in_idx buffer identity;
+# maps are immutable) — spatial_conv_apply(halo=None) in a training loop
+# must not pay a host sync per step
+_HALO_CACHE: dict = {}
+
+
 def required_halo(kmap: KernelMap, n_dev: int) -> tuple:
     """(halo_fwd, halo_bwd) host ints: the exact single-hop halo widths
     that make every valid pair land inside its output block's window.
@@ -94,22 +100,39 @@ def required_halo(kmap: KernelMap, n_dev: int) -> tuple:
     covers ``out_idx_t`` references from in blocks (the d_feats pass).
     A value > its block size means single-hop halos cannot cover the
     map — use the all-gather fallback (``spatial_conv_apply`` does this
-    automatically when ``halo=None``).
+    automatically when ``halo=None``).  Both maxima come back in ONE
+    host sync, and the result is cached per (map, n_dev).
     """
+    import weakref
 
-    def one(idx, cap_ref, cap_base):
+    ck = (id(kmap.in_idx), n_dev)
+    hit = _HALO_CACHE.get(ck)
+    if hit is not None:
+        ref, val = hit
+        if ref() is kmap.in_idx:  # id() reuse after GC → treat as miss
+            return val
+
+    def one(idx, cap_ref):
         C = idx.shape[1]
         B_base = C // n_dev
         B_ref = cap_ref // n_dev
         blk = jnp.arange(C, dtype=jnp.int32) // B_base
         lo = blk * B_ref
         excess = jnp.maximum(lo - idx, idx - (lo + B_ref - 1))
-        excess = jnp.where(idx >= 0, excess, 0)
-        return int(jax.device_get(jnp.max(excess)))
+        return jnp.max(jnp.where(idx >= 0, excess, 0))
 
-    hf = one(kmap.in_idx, kmap.capacity_in, kmap.capacity_out)
-    hb = one(kmap.out_idx_t, kmap.capacity_out, kmap.capacity_in)
-    return _round_up(hf, 64), _round_up(hb, 64)
+    hf, hb = jax.device_get((
+        one(kmap.in_idx, kmap.capacity_in),
+        one(kmap.out_idx_t, kmap.capacity_out),
+    ))
+    out = _round_up(int(hf), 64), _round_up(int(hb), 64)
+    if len(_HALO_CACHE) > 256:
+        _HALO_CACHE.clear()
+    try:
+        _HALO_CACHE[ck] = (weakref.ref(kmap.in_idx), out)
+    except TypeError:  # object not weakref-able: skip caching
+        pass
+    return out
 
 
 def _halo_window(f_blk, halo: int, axis_name: str, n: int):

@@ -231,3 +231,39 @@ class TestOutlierSlabs:
             # span tail exceeded the rung ⇒ outliers must be present+exact
             assert km.fwd_slab.ov_src is not None
             assert 0 < int(km.fwd_slab.ov_count) <= km.fwd_slab.ov_cap
+
+
+class TestTracedOkSubWindows:
+    def test_capacity_sized_slab_with_sub_windows_checks_ov_count(self):
+        """traced_ok must gate on ov_count whenever an outlier list
+        exists — INCLUDING slab_size == capacity_in, where two-tier
+        sub-windows can still drop pairs (regression: the old gate
+        `slab_size < capacity_in` skipped the check and traced replays
+        silently truncated outliers)."""
+        import dataclasses
+
+        from minkowskiengine_tpu.coords.kernel_map import KernelMap
+
+        mgr = ME.CoordinateManager(D=3)
+        cap = 256
+        in_idx = jnp.full((8, cap), -1, jnp.int32)
+        slab = build_slab_map_floored(
+            in_idx, cap, (cap, 0, 64, 128), tile=cap
+        )
+        assert slab is not None and slab.slab_size == slab.capacity_in
+        assert slab.sub_size > 0 and slab.ov_count is not None
+        # forge an overflowing outlier count (count > ov_cap)
+        bad = dataclasses.replace(
+            slab, ov_count=jnp.int32(slab.ov_cap + 1)
+        )
+        km = KernelMap(in_idx, in_idx, 10, 10, bad, None)
+        mgr._begin_deferred(traced=True)
+        mgr._kernel_maps[("fake",)] = km
+        span = jnp.zeros((3,), jnp.int32)
+        mgr._deferred["slabs"].append((("fake",), span, span))
+        assert not bool(mgr.traced_ok())
+        # and a fitting count passes
+        good = dataclasses.replace(slab, ov_count=jnp.int32(slab.ov_cap))
+        mgr._kernel_maps[("fake",)] = KernelMap(in_idx, in_idx, 10, 10, good, None)
+        assert bool(mgr.traced_ok())
+        mgr._deferred = None
