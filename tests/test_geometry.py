@@ -192,3 +192,71 @@ class TestGeometryPipeline:
         g0 = jax.tree.map(lambda v: v[0], stacked)
         for a, b in zip(jax.tree.leaves(g0), l0):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFloorViolationRecovery:
+    def test_ratchet_and_retry_reproduces_eager(self, warm):
+        """The documented recovery protocol — traced replay, ok=False ⇒
+        sync-replay (ratchet) + adopt + RE-JIT — must end bit-comparable
+        to the eager forward, even when the new geometry blows the warm
+        floors (adversarial plane cloud after uniform warm-up: long slab
+        spans / many sub-window outliers at the same capacity bucket)."""
+        from minkowskiengine_tpu.coords.map import bucket_capacity
+
+        x, net = warm
+        graphdef, state = nnx.split(net)
+        replayer = ME.GeometryReplayer(x.coordinate_manager)
+        replayer(cloud(1)[0])  # settle on benign geometry
+        crep = ME.CompiledReplayer(x.coordinate_manager).adopt(replayer)
+
+        # adversarial geometry: two dense planes -> scanline wraps, long
+        # span tails (the regime that overflows warm outlier caps)
+        rng = np.random.RandomState(7)
+        xy = rng.randint(0, 28, (600, 2))
+        z = np.where(rng.rand(600) < 0.5, 0, 13)
+        cB = np.unique(
+            np.concatenate(
+                [np.zeros((600, 1), np.int64), xy, z[:, None]], axis=1
+            ).astype(np.int32),
+            axis=0,
+        )[:290]
+        fB = rng.randn(len(cB), 3).astype(np.float32)
+
+        def pad(c, f):
+            cap = bucket_capacity(len(c))
+            cp = np.zeros((cap, 4), np.int32)
+            cp[: len(c)] = c
+            fp = np.zeros((cap, 3), np.float32)
+            fp[: len(c)] = f
+            return (jnp.asarray(cp), jnp.asarray(len(c), jnp.int32),
+                    jnp.asarray(fp))
+
+        def make_step():
+            @jax.jit
+            def step(state, cp, n, fp):
+                geo, fr, ok = crep.trace(cp, n, fp)
+                model = nnx.merge(graphdef, state)
+                mgr = ME.CoordinateManager.from_geometry(geo)
+                xt = ME.SparseTensor(
+                    fr, coordinate_map_key=geo.entry_key,
+                    coordinate_manager=mgr,
+                )
+                return model(xt).padded_features, ok
+
+            return step
+
+        step = make_step()
+        cp, n, fp = pad(cB, fB)
+        out, ok = step(state, cp, n, fp)
+        if not bool(ok):
+            replayer(cB)  # sync replay: ratchets the violated floors
+            crep.adopt(replayer)
+            step = make_step()  # stale-jit trap: MUST re-jit
+            out, ok = step(state, cp, n, fp)
+        assert bool(ok)
+        ref = net(ME.SparseTensor(jnp.asarray(fB), jnp.asarray(cB)))
+        nv = ref.size
+        np.testing.assert_allclose(
+            np.asarray(out)[:nv], np.asarray(ref.padded_features)[:nv],
+            rtol=2e-5, atol=2e-5,
+        )
