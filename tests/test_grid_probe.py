@@ -53,11 +53,26 @@ CASES = [
 ]
 
 
+@pytest.fixture(params=["stack", "slices"])
+def grid_build_mode(request):
+    """Run grid-probe equality under BOTH build strategies (the sliced-
+    window variant is env-selected in production; it must stay
+    bit-identical to the shifted-stack baseline)."""
+    import minkowskiengine_tpu.coords.kernel_map as KM
+
+    old = KM._GRID_BUILD_MODE
+    KM._GRID_BUILD_MODE = request.param
+    try:
+        yield request.param
+    finally:
+        KM._GRID_BUILD_MODE = old
+
+
 class TestGridProbeEquality:
     @pytest.mark.parametrize("misaligned", [False, True])
     @pytest.mark.parametrize("ks,stride,dil,region", CASES)
     def test_in_idx_and_invert_match_sorted_paths(
-        self, ks, stride, dil, region, misaligned
+        self, ks, stride, dil, region, misaligned, grid_build_mode
     ):
         if misaligned:
             # odd minima not multiples of any tested stride: strided output
@@ -109,7 +124,7 @@ class TestGridProbeEquality:
         )
         np.testing.assert_array_equal(got_t, ref_t)
 
-    def test_off_lattice_base_falls_back_correctly(self):
+    def test_off_lattice_base_falls_back_correctly(self, grid_build_mode):
         """Probing a coarse map from a finer base (the transpose/invert
         regime) — the shifted-stack fast path must not engage, and the
         per-element path must agree with the sorted-key builder."""
@@ -194,7 +209,7 @@ class TestGridProbeEquality:
             KM._MAX_SHIFT_STACK = old
         np.testing.assert_array_equal(got, ref)
 
-    def test_full_kernel_map_through_manager(self):
+    def test_full_kernel_map_through_manager(self, grid_build_mode):
         """End-to-end: manager-built maps (grid paths engaged) equal maps
         built with grids disabled."""
         import minkowskiengine_tpu.coords.manager as M
