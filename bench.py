@@ -390,6 +390,124 @@ def main():
                 f"({100*useful_tflops/197.0:.1f}% MFU)"
             )
 
+    # ---- full published-baseline suite (docs/benchmark.md, Titan X) ------
+    # Every row the reference publishes, measured on the SAME room-shaped
+    # geometry its numbers came from (ScanNet rooms @5cm, ~26k voxels):
+    # single conv fwd/bwd at k=3/5/7 and the 3-layer "simple UNet"
+    # (conv k→32, conv k=2 s=2, convT k=2 s=2) fwd/bwd at k=3/5.
+    # Reference "backward" rows time the backward pass alone (maps reused),
+    # so bwd here = t(fwd+bwd) − t(fwd) on warm maps.
+    with section("ref-suite"):
+        REF = {  # docs/benchmark.md:35-43,81-87 (Titan X, v0.4.3)
+            ("conv_fwd", 3): 0.093, ("conv_fwd", 5): 0.121,
+            ("conv_fwd", 7): 0.165,
+            ("conv_bwd", 3): 0.0056, ("conv_bwd", 5): 0.0149,
+            ("conv_bwd", 7): 0.0312,
+            ("unet_fwd", 3): 0.1238, ("unet_fwd", 5): 0.1440,
+            ("unet_bwd", 3): 0.0074, ("unet_bwd", 5): 0.0170,
+        }
+        mgr_ref = xh.coordinate_manager
+        key_ref = xh.coordinate_map_key
+
+        def chain_times(modules, reps=REPS, chains=CHAINS):
+            """(t_fwd, t_bwd) per application of the module stack on the
+            headline cloud, amortized over an in-graph chain."""
+            params = [m.kernel[...] for m in modules if hasattr(m, "kernel")]
+
+            def apply_once(f, scale):
+                xt = ME.SparseTensor(
+                    f * scale, coordinate_map_key=key_ref,
+                    coordinate_manager=mgr_ref,
+                )
+                for m in modules:
+                    xt = m(xt)
+                return xt.padded_features[0, 0]
+
+            @jax.jit
+            def fwd_many(f):
+                acc = 0.0
+                for i in range(reps):
+                    acc = acc + apply_once(f, scales[i])
+                return acc
+
+            @jax.jit
+            def bwd_many(f):
+                return jax.grad(fwd_many)(f)
+
+            t_f, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [fwd_many(fpad_h) for _ in range(chains)]
+                ),
+                warmup=2, iters=5,
+            )
+            t_fb, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [bwd_many(fpad_h) for _ in range(chains)]
+                ),
+                warmup=2, iters=5,
+            )
+            return t_f / (chains * reps), t_fb / (chains * reps)
+
+        for ks in (3, 5, 7):
+            conv_k = ME.MinkowskiConvolution(
+                3, 32, kernel_size=ks, stride=1, dimension=3,
+                rngs=nnx.Rngs(ks),
+            )
+            _ = conv_k(xh)  # warm maps + compile
+            tf, tfb = chain_times([conv_k])
+            tb = max(tfb - tf, 0.0)
+            results[f"ref_conv_fwd_k{ks}_s"] = tf
+            results[f"ref_conv_bwd_k{ks}_s"] = tb
+            results[f"ref_conv_fwd_k{ks}_vs_baseline"] = (
+                REF[("conv_fwd", ks)] / tf
+            )
+            if tb > 0:
+                results[f"ref_conv_bwd_k{ks}_vs_baseline"] = (
+                    REF[("conv_bwd", ks)] / tb
+                )
+            log(
+                f"ref-suite conv k={ks}: fwd {tf*1e3:.3f} ms "
+                f"({REF[('conv_fwd', ks)]/tf:.0f}x baseline), "
+                f"bwd {tb*1e3:.3f} ms"
+            )
+            flush()
+
+        for ks in (3, 5):
+            unet_mods = [
+                ME.MinkowskiConvolution(
+                    3, 32, kernel_size=ks, stride=1, dimension=3,
+                    rngs=nnx.Rngs(10 + ks),
+                ),
+                ME.MinkowskiConvolution(
+                    32, 32, kernel_size=2, stride=2, dimension=3,
+                    rngs=nnx.Rngs(20 + ks),
+                ),
+                ME.MinkowskiConvolutionTranspose(
+                    32, 32, kernel_size=2, stride=2, dimension=3,
+                    rngs=nnx.Rngs(30 + ks),
+                ),
+            ]
+            xt = xh
+            for m in unet_mods:  # warm all three layers' maps
+                xt = m(xt)
+            tf, tfb = chain_times(unet_mods, reps=REPS // 2)
+            tb = max(tfb - tf, 0.0)
+            results[f"ref_unet_fwd_k{ks}_s"] = tf
+            results[f"ref_unet_bwd_k{ks}_s"] = tb
+            results[f"ref_unet_fwd_k{ks}_vs_baseline"] = (
+                REF[("unet_fwd", ks)] / tf
+            )
+            if tb > 0:
+                results[f"ref_unet_bwd_k{ks}_vs_baseline"] = (
+                    REF[("unet_bwd", ks)] / tb
+                )
+            log(
+                f"ref-suite simple-UNet k={ks}: fwd {tf*1e3:.3f} ms "
+                f"({REF[('unet_fwd', ks)]/tf:.0f}x baseline), "
+                f"bwd {tb*1e3:.3f} ms"
+            )
+            flush()
+
     # ---- e2e including coordinate-map + kernel-map build (cold) ---------
     sync_floor = 3 * results.get("tunnel_sync_latency_s", 0.0)
     with section("cold-e2e"):
