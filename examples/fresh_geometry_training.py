@@ -18,14 +18,21 @@ of one compiled program:
    floors ratchet up) and continue.
 
 Run (CPU or TPU):
-    python examples/fresh_geometry_training.py
+    python examples/fresh_geometry_training.py [--cpu]
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import time
 
 import numpy as np
 
 import jax
+
+if "--cpu" in _sys.argv:  # the axon TPU plugin ignores JAX_PLATFORMS
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 from flax import nnx

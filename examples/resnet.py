@@ -6,12 +6,18 @@ this environment has no network egress.  Shows the ResNet14..50 family,
 voxelization from continuous points, and a classification forward with
 global pooling.
 
-Run:  python examples/resnet.py
+Run:  python examples/resnet.py [--cpu]
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 
 import jax
+
+if "--cpu" in _sys.argv:  # the axon TPU plugin ignores JAX_PLATFORMS
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 from flax import nnx
 

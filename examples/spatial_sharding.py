@@ -10,12 +10,21 @@ replicate whole samples).
 
 Run on CPU with 8 simulated devices:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python examples/spatial_sharding.py
+        python examples/spatial_sharding.py --cpu
 """
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 
 import jax
+
+if "--cpu" in _sys.argv:
+    # the axon TPU plugin ignores JAX_PLATFORMS; force CPU explicitly so
+    # the simulated 8-device mesh (XLA_FLAGS above) is actually used
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 import minkowskiengine_tpu as ME
