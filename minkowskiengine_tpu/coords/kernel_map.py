@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 from typing import Tuple
 
@@ -167,7 +168,7 @@ def grid_lookup(row_grid, mins, grid_shape, tensor_stride, q):
       (...,) int32 rows, -1 where absent / out of the grid.
     """
     ext = grid_shape[1:]
-    cells = int(np.prod(grid_shape))
+    cells = math.prod(grid_shape)
     b = q[..., 0] - mins[0]
     rel = q[..., 1:] - mins[1:]
     tsv = jnp.asarray(tensor_stride, jnp.int32)
@@ -243,11 +244,11 @@ def _shifted_grid_stack(row_grid, grid_shape, pads, cell_offsets):
     (K → 128, ~260 MB transient at 536k cells) — bounded, once per
     chunk, and cheaply rematerializable.
     """
-    cells = int(np.prod(grid_shape))
+    cells = math.prod(grid_shape)
     g = row_grid[:cells].reshape(grid_shape)
     g2 = jnp.pad(g, [(2 * p, 2 * p) for p in pads], constant_values=-1)
     ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
-    cells_ext = int(np.prod(ext_shape))
+    cells_ext = math.prod(ext_shape)
     Kc = len(cell_offsets)
     rows = []
     for off in cell_offsets:
@@ -271,7 +272,7 @@ def _cells_of(coords, mins, grid_shape, tensor_stride):
     only match rows of its one compatible class (p ≡ -Δ mod ts) — the
     caller masks by class after the stack gather."""
     ext = grid_shape[1:]
-    cells = int(np.prod(grid_shape))
+    cells = math.prod(grid_shape)
     b = coords[:, 0] - mins[0]
     rel = coords[:, 1:] - mins[1:]
     tsv = jnp.asarray(tensor_stride, jnp.int32)
@@ -380,7 +381,7 @@ def _cells_of_padded(coords, ext_mins, ext_shape, pads, tensor_stride):
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _padded_flat_grid(row_grid, grid_shape, pads):
     """The row grid padded by 2×pads cells of -1 per axis side, flat."""
-    cells = int(np.prod(grid_shape))
+    cells = math.prod(grid_shape)
     g = row_grid[:cells].reshape(grid_shape)
     g3 = jnp.pad(
         g, [(0, 0)] + [(2 * p, 2 * p) for p in pads[1:]], constant_values=-1
@@ -418,7 +419,7 @@ def _build_in_idx_slices(probe, out_coords, n_out, offsets):
     )
     flat_g3 = _padded_flat_grid(row_grid, grid_shape, pads)
     g3_shape = _padded_grid_shape(grid_shape, pads)
-    n3 = int(np.prod(g3_shape))
+    n3 = math.prod(g3_shape)
     base, ok, row_cls = _cells_of_padded(
         out_coords, mins - pad_units, ext_shape, pads, ts
     )
@@ -485,7 +486,7 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     # go all -1 while real matches exist.
     pads = _pads_for_offsets(cell_offs, len(grid_shape))
     ext_shape = tuple(n + 2 * p for n, p in zip(grid_shape, pads))
-    cells_ext = int(np.prod(ext_shape))
+    cells_ext = math.prod(ext_shape)
     chunk = min(K, max(_MAX_SHIFT_STACK // max(cells_ext, 1), 0))
     if chunk == 0:  # grid too large for even one shifted copy
         q = out_coords[None, :, :] + jnp.asarray(offsets)[:, None, :]

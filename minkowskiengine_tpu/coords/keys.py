@@ -14,15 +14,18 @@ W-bit key held as a tuple of uint32 lanes (most-significant lane first):
 * uniqueness/lookup become `lax.sort` + vectorized binary search, both of
   which XLA maps efficiently onto the VPU (no serialization, no atomics);
 * uint32 lanes avoid depending on global ``jax_enable_x64``; two lanes
-  (64 bits) cover D <= 6, three lanes (96 bits) cover 7 <= D <= 13 — the
-  multi-word path the reference handles with arbitrary-width row hashing.
+  (64 bits) cover D <= 6, three lanes (96 bits) cover 7 <= D <= 13, and
+  beyond that the lane count grows with D (>= 12 bits per spatial dim) —
+  the multi-word path the reference handles with arbitrary-width row
+  hashing, without a dimension cap.
 
 Bit budget: the batch index gets ``batch_bits`` and each of the D spatial
 dims gets ``dim_bits`` with ``batch_bits + D*dim_bits <= 32*n_lanes``.
 Spatial coordinates are signed and biased by ``2**(dim_bits-1)``.  Defaults
 give 16-bit coords for D<=3 (range ±32768, far beyond any practical voxel
 grid) and degrade gracefully for higher D (4D spatio-temporal: ±4096;
-D=7: ±1024; D=13: ±32).  Out-of-range coordinates are detected at insert
+D=7: ±1024; D=13: ±32; D>13 keeps >= ±2048 by adding lanes).
+Out-of-range coordinates are detected at insert
 time (see ``overflow_mask``) and raise on the host rather than corrupting
 keys.
 
@@ -62,8 +65,15 @@ _ORDER = _os.environ.get("ME_KEY_ORDER", "lex")
 
 @functools.lru_cache(maxsize=None)
 def n_lanes(dimension: int) -> int:
-    """uint32 lanes per key: 2 (64-bit) for D <= 6, 3 (96-bit) above."""
-    return 2 if dimension <= 6 else 3
+    """uint32 lanes per key: 2 (64-bit) for D <= 6, 3 (96-bit) for
+    D <= 13, then however many keep >= 12 bits per spatial dim — the
+    reference hashes arbitrary-D rows (src/coordinate.hpp:276-349), so
+    the lane budget must not cap D either."""
+    if dimension <= 6:
+        return 2
+    if dimension <= 13:
+        return 3
+    return -(-(16 + 12 * dimension) // 32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -82,14 +92,14 @@ def bit_allocation(dimension: int) -> Tuple[int, ...]:
     elif dimension <= 6:
         batch_bits = 12
         dim_bits = (64 - batch_bits) // dimension
-    else:
+    elif dimension <= 13:
         batch_bits = 16
         dim_bits = (96 - batch_bits) // dimension
-    if dim_bits < 6:
-        raise NotImplementedError(
-            f"dimension={dimension} leaves only {dim_bits} bits per "
-            "coordinate; coordinate spaces beyond 13-D are not supported"
-        )
+    else:
+        # arbitrary D: n_lanes() grew the budget, so dim_bits >= 12
+        batch_bits = 16
+        dim_bits = (32 * n_lanes(dimension) - batch_bits) // dimension
+    assert dim_bits >= 6, (dimension, dim_bits)
     return (batch_bits,) + (dim_bits,) * dimension
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import itertools
+import math as _math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -1258,7 +1259,7 @@ class CoordinateManager:
         traced = self._deferred is not None and self._deferred.get("traced")
         floor = self._grid_floors.get(key_t)
         if traced and (
-            floor is None or int(np.prod(floor)) > _MAX_GRID_CELLS
+            floor is None or _math.prod(floor) > _MAX_GRID_CELLS
         ):
             # the warm sync pass chose (or will choose) the join path for
             # this map; don't demand a grid floor the recipe never ratchets

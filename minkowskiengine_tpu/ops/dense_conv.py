@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -63,7 +64,10 @@ class DensePlan:
 
     @property
     def cells(self) -> int:
-        return int(np.prod(self.grid_shape))
+        # math.prod over Python ints: exact at any D (np.prod silently
+        # wraps int64 — 16-multiple extents overflow it from D=16 up,
+        # which made huge grids look under-budget and corrupted probes)
+        return math.prod(self.grid_shape)
 
     def tree_flatten(self):
         return (self.flat_idx, self.mins), (self.grid_shape,)

@@ -395,3 +395,44 @@ class TestHighDimensional:
         feats = np.ones((4, 2), np.float32)
         with pytest.raises(ValueError):
             ME.SparseTensor(feats, coords)
+
+    def test_16d_conv_matches_oracle(self):
+        """Beyond the 96-bit budget: D=16 grows the key to 6+ uint32
+        lanes (the reference has no dimension cap).  HYPER_CROSS keeps
+        the kernel volume at 2D+1."""
+        from minkowskiengine_tpu.kernel_generator import hyper_cross_offsets
+
+        coords, feats = rand_tensor(50, 16, 3, lo=-2, hi=2, seed=15)
+        x = ME.SparseTensor(feats, coords)
+        kg = ME.KernelGenerator(
+            kernel_size=3, region_type=ME.RegionType.HYPER_CROSS, dimension=16
+        )
+        conv = ME.MinkowskiConvolution(
+            3, 4, kernel_size=3, kernel_generator=kg, dimension=16
+        )
+        y = conv(x)
+        W = np.asarray(conv.kernel[...])
+        offsets = hyper_cross_offsets((3,) * 16, (1,) * 16, (1,) * 16)
+        expected = conv_oracle(x.C, np.asarray(x.F), np.asarray(y.C), W, offsets)
+        np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
+
+    def test_16d_unique_and_global_pool(self):
+        coords, feats = rand_tensor(120, 16, 2, lo=-2048, hi=2047, seed=16)
+        x = ME.SparseTensor(feats, coords)
+        # unique() over 6-lane keys must agree with numpy row-unique
+        assert x.size == len(np.unique(np.asarray(coords), axis=0))
+        g = ME.MinkowskiGlobalAvgPooling()(x)
+        batches = np.asarray(x.C)[:, 0]
+        for i, b in enumerate(np.unique(batches)):
+            np.testing.assert_allclose(
+                np.asarray(g.F)[i],
+                np.asarray(x.F)[batches == b].mean(0),
+                rtol=1e-5,
+            )
+
+    def test_16d_range_overflow_raises(self):
+        coords = np.zeros((4, 17), np.int32)
+        coords[0, 5] = 5000  # beyond the ±2048 budget at D=16
+        feats = np.ones((4, 2), np.float32)
+        with pytest.raises(ValueError):
+            ME.SparseTensor(feats, coords)
