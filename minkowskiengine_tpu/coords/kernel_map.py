@@ -327,9 +327,12 @@ _MAX_SHIFT_STACK = 32 * 1024 * 1024
 
 # kernel-map grid-build strategy: "slices" (per-group (1, W)-window
 # gathers from the flat padded grid — no grid-sized temps) or "stack"
-# (K shifted grid copies + transpose).  Overridable for A/B measurement;
-# default pending TPU timing (the stack is the measured-safe baseline).
-_GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD", "stack")
+# (K shifted grid copies + transpose).  Overridable for A/B measurement.
+# TPU A/B (MinkUNet34 traced phase, fresh 26k surface clouds, r3):
+# slices 37.1/40.0 ms min/mean vs stack 38.1/42.3 — slices wins and
+# never materializes the (cells, K) stack, so it is also the
+# memory-safe choice for large grids.
+_GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD", "slices")
 
 
 def _window_groups(cell_offs):
