@@ -411,38 +411,42 @@ def main():
 
         def chain_times(modules, reps=REPS, chains=CHAINS):
             """(t_fwd, t_bwd) per application of the module stack on the
-            headline cloud, amortized over an in-graph chain."""
-            params = [m.kernel[...] for m in modules if hasattr(m, "kernel")]
+            headline cloud, amortized over an in-graph chain.  The backward
+            differentiates wrt the input features AND every module's
+            parameters (the reference's bwd rows time dW + dX)."""
+            splits = [nnx.split(m) for m in modules]
+            graphdefs = [gd for gd, _ in splits]
+            states = [st for _, st in splits]
 
-            def apply_once(f, scale):
+            def apply_once(f, scale, sts):
                 xt = ME.SparseTensor(
                     f * scale, coordinate_map_key=key_ref,
                     coordinate_manager=mgr_ref,
                 )
-                for m in modules:
-                    xt = m(xt)
+                for gd, st in zip(graphdefs, sts):
+                    xt = nnx.merge(gd, st)(xt)
                 return xt.padded_features[0, 0]
 
             @jax.jit
-            def fwd_many(f):
+            def fwd_many(f, sts):
                 acc = 0.0
                 for i in range(reps):
-                    acc = acc + apply_once(f, scales[i])
+                    acc = acc + apply_once(f, scales[i], sts)
                 return acc
 
             @jax.jit
-            def bwd_many(f):
-                return jax.grad(fwd_many)(f)
+            def bwd_many(f, sts):
+                return jax.grad(fwd_many, argnums=(0, 1))(f, sts)
 
             t_f, _ = timeit(
                 lambda: jax.block_until_ready(
-                    [fwd_many(fpad_h) for _ in range(chains)]
+                    [fwd_many(fpad_h, states) for _ in range(chains)]
                 ),
                 warmup=2, iters=5,
             )
             t_fb, _ = timeit(
                 lambda: jax.block_until_ready(
-                    [bwd_many(fpad_h) for _ in range(chains)]
+                    [bwd_many(fpad_h, states) for _ in range(chains)]
                 ),
                 warmup=2, iters=5,
             )

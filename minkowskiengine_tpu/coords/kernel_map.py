@@ -327,12 +327,21 @@ _MAX_SHIFT_STACK = 32 * 1024 * 1024
 
 # kernel-map grid-build strategy: "slices" (per-group (1, W)-window
 # gathers from the flat padded grid — no grid-sized temps) or "stack"
-# (K shifted grid copies + transpose).  Overridable for A/B measurement.
-# TPU A/B (MinkUNet34 traced phase, fresh 26k surface clouds, r3):
-# slices 37.1/40.0 ms min/mean vs stack 38.1/42.3 — slices wins and
-# never materializes the (cells, K) stack, so it is also the
-# memory-safe choice for large grids.
-_GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD", "slices")
+# (K shifted grid copies + transpose).  ME_GRID_BUILD forces one mode
+# everywhere (A/B measurement); unset, the mode is chosen per build:
+# TPU A/B (r3): inside the fused traced/deferred replay slices wins
+# (MinkUNet34 phase 37.1/40.0 ms min/mean vs stack 38.1/42.3) and never
+# materializes the (cells, K) stack, so it is also the memory-safe
+# choice; but EAGER builds run each window-group gather as a separate
+# dispatch and measured ~2.5× slower cold (kmap build 345 ms vs 134),
+# so the un-deferred path keeps the stack.
+_GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD")  # None → auto
+
+
+def _grid_build_mode(deferred: bool) -> str:
+    if _GRID_BUILD_MODE:
+        return _GRID_BUILD_MODE
+    return "slices" if deferred else "stack"
 
 
 def _window_groups(cell_offs):
@@ -454,7 +463,9 @@ def _build_in_idx_slices(probe, out_coords, n_out, offsets):
     return jnp.where(valid_out & cls_ok, rows, -1)
 
 
-def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
+def _build_in_idx_grid(
+    probe, out_coords, n_out, offsets, base_stride=None, deferred=False
+):
     """Grid-probe variant of ``_build_in_idx`` — bit-identical results.
 
     ``probe`` = (row_grid, mins, grid_shape, tensor_stride) of the PROBED
@@ -479,7 +490,7 @@ def _build_in_idx_grid(probe, out_coords, n_out, offsets, base_stride=None):
     offsets = np.asarray(offsets)  # static host constants by construction
     K = int(offsets.shape[0])
     C_out = out_coords.shape[0]
-    if _GRID_BUILD_MODE == "slices":
+    if _grid_build_mode(deferred) == "slices":
         return _build_in_idx_slices(probe, out_coords, n_out, offsets)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
     cell_offs, req_cls = _cell_offsets_for(offsets, ts, grid_shape)
@@ -597,7 +608,7 @@ def build_kernel_map(
     if probe is not None:
         in_idx = _build_in_idx_grid(
             probe, out_map.coordinates, out_map.size_arr, offsets,
-            base_stride=out_map.tensor_stride,
+            base_stride=out_map.tensor_stride, deferred=defer_slabs,
         )
     else:
         in_idx = _build_in_idx(
@@ -616,7 +627,7 @@ def build_kernel_map(
         # in_idx[k, o] == i  ⟺  out-row of (in_i - Δk) is o)
         out_idx_t = _build_in_idx_grid(
             probe_out, in_map.coordinates, in_map.size_arr, -offsets,
-            base_stride=in_map.tensor_stride,
+            base_stride=in_map.tensor_stride, deferred=defer_slabs,
         )
     else:
         out_idx_t = _invert_matching(in_idx, in_map.capacity)
