@@ -91,7 +91,15 @@ def main():
     coords, feats = make_cloud()
     log(f"cloud: {len(coords)} voxels")
 
+    # Seed from the committed artifact so a partial run MERGES into it:
+    # round 3's timeout rewrote BENCH_DETAILS.json from an empty dict and
+    # erased the MinkUNet34 north-star rows.  Never clobber prior evidence.
     results = {}
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            results = json.load(f)
+    except Exception:
+        pass
 
     def flush():
         """Persist partial results NOW — the TPU tunnel can die mid-run
@@ -289,266 +297,6 @@ def main():
         flush=True,
     )
     flush()  # headline metrics are on disk even if the tunnel dies now
-
-    # ---- larger surface cloud (50k): slab-span stress -------------------
-    # Real scans are 2-D surfaces in 3-D; per-tile index spans differ wildly
-    # from uniform-random clouds.  This validates the outlier-tolerant slab
-    # ladder at ~2× the headline size.
-    with section("surface-50k"):
-        s_coords, s_feats = surface_cloud("50k")
-        log(f"surface cloud: {len(s_coords)} voxels (room scan @ 5cm)")
-        xs = ME.SparseTensor(s_feats, s_coords)
-        ys = conv(xs)  # warm maps for the surface geometry
-        kmap_s = xs.coordinate_manager.kernel_map(
-            xs.coordinate_map_key, ys.coordinate_map_key,
-            kernel_size=3, stride=1,
-        )
-        fpad_s = xs.padded_features
-
-        @jax.jit
-        def conv_many_surface(f, w):
-            acc = 0.0
-            for i in range(REPS):
-                acc = acc + sparse_conv_kmap(f * scales[i], w, kmap_s)[0, 0]
-            return acc
-
-        ts_min, _ = timeit(
-            lambda: jax.block_until_ready(
-                [conv_many_surface(fpad_s, kernel) for _ in range(CHAINS)]
-            )
-        )
-        ts_min = ts_min / (CHAINS * REPS)
-        results["single_conv_fwd_k3_surface_s"] = ts_min
-        results["surface_cloud_voxels"] = len(s_coords)
-        log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
-
-        # measure the dense-grid path too when the dispatch would consider
-        # it (with outlier-tolerant slabs the sparse kernel should win)
-        plan_s = xs.coordinate_manager.dense_plan(xs.coordinate_map_key)
-        if dense_conv_beneficial(
-            plan_s, xs.capacity, 27, 3, 32,
-            cached_slab_size=(
-                kmap_s.fwd_slab.slab_size if kmap_s.fwd_slab else None
-            ),
-        ):
-            @jax.jit
-            def conv_many_surface_dense(f, w):
-                acc = 0.0
-                for i in range(REPS):
-                    acc = acc + dense_conv(
-                        f * scales[i], w, plan_s, (3, 3, 3), (1, 1, 1)
-                    )[0, 0]
-                return acc
-
-            tsd_min, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [conv_many_surface_dense(fpad_s, kernel)
-                     for _ in range(CHAINS)]
-                )
-            )
-            tsd_min = tsd_min / (CHAINS * REPS)
-            results["single_conv_fwd_k3_surface_dense_s"] = tsd_min
-            log(
-                f"single conv fwd (surface cloud, dense dispatch): "
-                f"min {tsd_min*1e3:.3f} ms"
-            )
-            results["single_conv_fwd_k3_surface_best_s"] = min(ts_min, tsd_min)
-
-    # ---- 128-channel conv + useful MFU ----------------------------------
-    # "useful" = the GEMM FLOPs a perfect sparse conv needs
-    # (2·pairs·Cin·Cout); the one-hot gather FLOPs the kernel spends on
-    # top are implementation tax.  BASELINE.json names this metric.
-    with section("conv128-mfu"):
-        k128 = jnp.asarray(
-            np.random.RandomState(2).randn(27, 128, 128).astype(np.float32)
-        ) * 0.05
-        for tag, xt, km_t in (("uniform", x, kmap), ("surface26k", xh, kmap_h)):
-            f128 = jnp.concatenate([xt.padded_features] * 43, axis=1)[:, :128]
-
-            @jax.jit
-            def conv128_chain(f, w, km_=km_t):
-                o = f
-                for _ in range(REPS):
-                    o = sparse_conv_kmap(o, w, km_)
-                return o
-
-            t128, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [conv128_chain(f128, k128) for _ in range(CHAINS)]
-                ),
-                warmup=2, iters=5,
-            )
-            t128 = t128 / (CHAINS * REPS)
-            pairs = int(np.sum(np.asarray(km_t.in_idx) >= 0))
-            useful_tflops = 2 * pairs * 128 * 128 / t128 / 1e12
-            results[f"single_conv_fwd_k3_128ch_{tag}_s"] = t128
-            results[f"conv128_useful_tflops_{tag}"] = useful_tflops
-            results[f"conv128_useful_mfu_{tag}"] = useful_tflops / 197.0
-            log(
-                f"conv 128ch k=3 ({tag}): {t128*1e3:.3f} ms — useful "
-                f"{useful_tflops:.1f} TFLOP/s "
-                f"({100*useful_tflops/197.0:.1f}% MFU)"
-            )
-
-    # ---- full published-baseline suite (docs/benchmark.md, Titan X) ------
-    # Every row the reference publishes, measured on the SAME room-shaped
-    # geometry its numbers came from (ScanNet rooms @5cm, ~26k voxels):
-    # single conv fwd/bwd at k=3/5/7 and the 3-layer "simple UNet"
-    # (conv k→32, conv k=2 s=2, convT k=2 s=2) fwd/bwd at k=3/5.
-    # Reference "backward" rows time the backward pass alone (maps reused),
-    # so bwd here = t(fwd+bwd) − t(fwd) on warm maps.
-    with section("ref-suite"):
-        REF = {  # docs/benchmark.md:35-43,81-87 (Titan X, v0.4.3)
-            ("conv_fwd", 3): 0.093, ("conv_fwd", 5): 0.121,
-            ("conv_fwd", 7): 0.165,
-            ("conv_bwd", 3): 0.0056, ("conv_bwd", 5): 0.0149,
-            ("conv_bwd", 7): 0.0312,
-            ("unet_fwd", 3): 0.1238, ("unet_fwd", 5): 0.1440,
-            ("unet_bwd", 3): 0.0074, ("unet_bwd", 5): 0.0170,
-        }
-        mgr_ref = xh.coordinate_manager
-        key_ref = xh.coordinate_map_key
-
-        def chain_times(modules, reps=REPS, chains=CHAINS):
-            """(t_fwd, t_bwd) per application of the module stack on the
-            headline cloud, amortized over an in-graph chain.  The backward
-            differentiates wrt the input features AND every module's
-            parameters (the reference's bwd rows time dW + dX)."""
-            splits = [nnx.split(m) for m in modules]
-            graphdefs = [gd for gd, _ in splits]
-            states = [st for _, st in splits]
-
-            def apply_once(f, scale, sts):
-                xt = ME.SparseTensor(
-                    f * scale, coordinate_map_key=key_ref,
-                    coordinate_manager=mgr_ref,
-                )
-                for gd, st in zip(graphdefs, sts):
-                    xt = nnx.merge(gd, st)(xt)
-                return xt.padded_features[0, 0]
-
-            @jax.jit
-            def fwd_many(f, sts):
-                acc = 0.0
-                for i in range(reps):
-                    acc = acc + apply_once(f, scales[i], sts)
-                return acc
-
-            @jax.jit
-            def bwd_many(f, sts):
-                return jax.grad(fwd_many, argnums=(0, 1))(f, sts)
-
-            t_f, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [fwd_many(fpad_h, states) for _ in range(chains)]
-                ),
-                warmup=2, iters=5,
-            )
-            t_fb, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [bwd_many(fpad_h, states) for _ in range(chains)]
-                ),
-                warmup=2, iters=5,
-            )
-            return t_f / (chains * reps), t_fb / (chains * reps)
-
-        for ks in (3, 5, 7):
-            conv_k = ME.MinkowskiConvolution(
-                3, 32, kernel_size=ks, stride=1, dimension=3,
-                rngs=nnx.Rngs(ks),
-            )
-            _ = conv_k(xh)  # warm maps + compile
-            tf, tfb = chain_times([conv_k])
-            tb = max(tfb - tf, 0.0)
-            results[f"ref_conv_fwd_k{ks}_s"] = tf
-            results[f"ref_conv_bwd_k{ks}_s"] = tb
-            results[f"ref_conv_fwd_k{ks}_vs_baseline"] = (
-                REF[("conv_fwd", ks)] / tf
-            )
-            if tb > 0:
-                results[f"ref_conv_bwd_k{ks}_vs_baseline"] = (
-                    REF[("conv_bwd", ks)] / tb
-                )
-            log(
-                f"ref-suite conv k={ks}: fwd {tf*1e3:.3f} ms "
-                f"({REF[('conv_fwd', ks)]/tf:.0f}x baseline), "
-                f"bwd {tb*1e3:.3f} ms"
-            )
-            flush()
-
-        for ks in (3, 5):
-            unet_mods = [
-                ME.MinkowskiConvolution(
-                    3, 32, kernel_size=ks, stride=1, dimension=3,
-                    rngs=nnx.Rngs(10 + ks),
-                ),
-                ME.MinkowskiConvolution(
-                    32, 32, kernel_size=2, stride=2, dimension=3,
-                    rngs=nnx.Rngs(20 + ks),
-                ),
-                ME.MinkowskiConvolutionTranspose(
-                    32, 32, kernel_size=2, stride=2, dimension=3,
-                    rngs=nnx.Rngs(30 + ks),
-                ),
-            ]
-            xt = xh
-            for m in unet_mods:  # warm all three layers' maps
-                xt = m(xt)
-            tf, tfb = chain_times(unet_mods, reps=REPS // 2)
-            tb = max(tfb - tf, 0.0)
-            results[f"ref_unet_fwd_k{ks}_s"] = tf
-            results[f"ref_unet_bwd_k{ks}_s"] = tb
-            results[f"ref_unet_fwd_k{ks}_vs_baseline"] = (
-                REF[("unet_fwd", ks)] / tf
-            )
-            if tb > 0:
-                results[f"ref_unet_bwd_k{ks}_vs_baseline"] = (
-                    REF[("unet_bwd", ks)] / tb
-                )
-            log(
-                f"ref-suite simple-UNet k={ks}: fwd {tf*1e3:.3f} ms "
-                f"({REF[('unet_fwd', ks)]/tf:.0f}x baseline), "
-                f"bwd {tb*1e3:.3f} ms"
-            )
-            flush()
-
-    # ---- e2e including coordinate-map + kernel-map build (cold) ---------
-    sync_floor = 3 * results.get("tunnel_sync_latency_s", 0.0)
-    with section("cold-e2e"):
-        def run_cold():
-            mgr = ME.CoordinateManager(D=3)
-            xt = ME.SparseTensor(feats, coords, coordinate_manager=mgr)
-            yt = conv(xt)
-            yt.padded_features.block_until_ready()
-
-        tc_min, _ = timeit(run_cold, warmup=2, iters=5)
-        results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
-        results["single_conv_fwd_k3_cold_e2e_net_s"] = max(
-            tc_min - sync_floor, 0.0
-        )
-        log(
-            f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms "
-            f"(~{sync_floor*1e3:.0f} ms of that is 3x tunnel sync latency; "
-            f"net {max(tc_min - sync_floor, 0.0)*1e3:.1f} ms)"
-        )
-
-    # ---- kernel map build alone -----------------------------------------
-    with section("kmap-build"):
-        def run_kmap():
-            mgr = ME.CoordinateManager(D=3)
-            key, _ = mgr.insert_and_map(coords)
-            okey = mgr.stride(key, 1)
-            km = mgr.kernel_map(key, okey, kernel_size=3, stride=1)
-            km.in_idx.block_until_ready()
-
-        tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
-        results["kernel_map_build_k3_s"] = tk_min
-        results["kernel_map_build_k3_net_s"] = max(tk_min - sync_floor, 0.0)
-        log(
-            f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms "
-            f"(net of 3x tunnel sync: "
-            f"{max(tk_min - sync_floor, 0.0)*1e3:.1f} ms)"
-        )
 
     # ---- MinkUNet34 fwd+bwd points/sec -----------------------------------
     try:
@@ -797,50 +545,311 @@ def main():
             [surface_cloud("26k", seed=s) for s in range(1, 6)],
         )
 
-        # ---- bf16 capacity: peak HBM of a big warm train step ------------
-        # bf16 gives no speed on v5e (f32 runs at bf16 MXU rate), but it
-        # halves activation memory; quantify the claim with measured peak
-        # HBM instead of asserting it.
-        try:
-            big_coords, big_feats = make_cloud(
-                n_target=104_000, grid=(160, 160, 80), batch=4, seed=41
-            )
-            xb = ME.SparseTensor(big_feats, big_coords)
-            _ = net(xb)  # build + cache the 104k-geometry maps eagerly
-            # bf16 FIRST: peak_bytes_in_use never resets within a process,
-            # so measure the smaller footprint before the larger one
-            for dt, tag in ((jnp.bfloat16, "bf16"), (None, "f32")):
-                ME.set_compute_dtype(dt)
-                try:
-                    @nnx.jit
-                    def step_big(model, f):
-                        def loss_fn(m):
-                            xt = ME.SparseTensor(
-                                f,
-                                coordinate_map_key=xb.coordinate_map_key,
-                                coordinate_manager=xb.coordinate_manager,
-                            )
-                            return jnp.sum(
-                                m(xt).padded_features.astype(jnp.float32) ** 2
-                            )
-
-                        return nnx.value_and_grad(loss_fn)(model)
-
-                    out = step_big(net, xb.padded_features)
-                    jax.block_until_ready(jax.tree.leaves(out))
-                    stats = jax.devices()[0].memory_stats() or {}
-                    peak = stats.get("peak_bytes_in_use", 0)
-                    results[f"minkunet34_104k_peak_hbm_{tag}_gb"] = (
-                        peak / 2**30
-                    )
-                    log(f"104k-voxel batch=4 step peak HBM ({tag}): "
-                        f"{peak/2**30:.2f} GiB")
-                finally:
-                    ME.set_compute_dtype(None)
-        except Exception as e:
-            log(f"bf16 capacity bench failed: {e!r}")
     except Exception as e:  # keep the headline metric alive regardless
         log(f"MinkUNet34 bench failed: {e!r}")
+
+    # ---- full published-baseline suite (docs/benchmark.md, Titan X) ------
+    # Every row the reference publishes, measured on the SAME room-shaped
+    # geometry its numbers came from (ScanNet rooms @5cm, ~26k voxels):
+    # single conv fwd/bwd at k=3/5/7 and the 3-layer "simple UNet"
+    # (conv k→32, conv k=2 s=2, convT k=2 s=2) fwd/bwd at k=3/5.
+    # Reference "backward" rows time the backward pass alone (maps reused),
+    # so bwd here = t(fwd+bwd) − t(fwd) on warm maps.
+    with section("ref-suite"):
+        REF = {  # docs/benchmark.md:35-43,81-87 (Titan X, v0.4.3)
+            ("conv_fwd", 3): 0.093, ("conv_fwd", 5): 0.121,
+            ("conv_fwd", 7): 0.165,
+            ("conv_bwd", 3): 0.0056, ("conv_bwd", 5): 0.0149,
+            ("conv_bwd", 7): 0.0312,
+            ("unet_fwd", 3): 0.1238, ("unet_fwd", 5): 0.1440,
+            ("unet_bwd", 3): 0.0074, ("unet_bwd", 5): 0.0170,
+        }
+        mgr_ref = xh.coordinate_manager
+        key_ref = xh.coordinate_map_key
+
+        def chain_times(modules, reps=REPS, chains=CHAINS):
+            """(t_fwd, t_bwd) per application of the module stack on the
+            headline cloud, amortized over an in-graph chain.  The backward
+            differentiates wrt the input features AND every module's
+            parameters (the reference's bwd rows time dW + dX)."""
+            splits = [nnx.split(m) for m in modules]
+            graphdefs = [gd for gd, _ in splits]
+            states = [st for _, st in splits]
+
+            def apply_once(f, scale, sts):
+                xt = ME.SparseTensor(
+                    f * scale, coordinate_map_key=key_ref,
+                    coordinate_manager=mgr_ref,
+                )
+                for gd, st in zip(graphdefs, sts):
+                    xt = nnx.merge(gd, st)(xt)
+                return xt.padded_features[0, 0]
+
+            @jax.jit
+            def fwd_many(f, sts):
+                acc = 0.0
+                for i in range(reps):
+                    acc = acc + apply_once(f, scales[i], sts)
+                return acc
+
+            @jax.jit
+            def bwd_many(f, sts):
+                return jax.grad(fwd_many, argnums=(0, 1))(f, sts)
+
+            t_f, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [fwd_many(fpad_h, states) for _ in range(chains)]
+                ),
+                warmup=2, iters=5,
+            )
+            t_fb, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [bwd_many(fpad_h, states) for _ in range(chains)]
+                ),
+                warmup=2, iters=5,
+            )
+            return t_f / (chains * reps), t_fb / (chains * reps)
+
+        for ks in (3, 5, 7):
+            conv_k = ME.MinkowskiConvolution(
+                3, 32, kernel_size=ks, stride=1, dimension=3,
+                rngs=nnx.Rngs(ks),
+            )
+            _ = conv_k(xh)  # warm maps + compile
+            tf, tfb = chain_times([conv_k])
+            tb = max(tfb - tf, 0.0)
+            results[f"ref_conv_fwd_k{ks}_s"] = tf
+            results[f"ref_conv_bwd_k{ks}_s"] = tb
+            results[f"ref_conv_fwd_k{ks}_vs_baseline"] = (
+                REF[("conv_fwd", ks)] / tf
+            )
+            if tb > 0:
+                results[f"ref_conv_bwd_k{ks}_vs_baseline"] = (
+                    REF[("conv_bwd", ks)] / tb
+                )
+            log(
+                f"ref-suite conv k={ks}: fwd {tf*1e3:.3f} ms "
+                f"({REF[('conv_fwd', ks)]/tf:.0f}x baseline), "
+                f"bwd {tb*1e3:.3f} ms"
+            )
+            flush()
+
+        for ks in (3, 5):
+            unet_mods = [
+                ME.MinkowskiConvolution(
+                    3, 32, kernel_size=ks, stride=1, dimension=3,
+                    rngs=nnx.Rngs(10 + ks),
+                ),
+                ME.MinkowskiConvolution(
+                    32, 32, kernel_size=2, stride=2, dimension=3,
+                    rngs=nnx.Rngs(20 + ks),
+                ),
+                ME.MinkowskiConvolutionTranspose(
+                    32, 32, kernel_size=2, stride=2, dimension=3,
+                    rngs=nnx.Rngs(30 + ks),
+                ),
+            ]
+            xt = xh
+            for m in unet_mods:  # warm all three layers' maps
+                xt = m(xt)
+            tf, tfb = chain_times(unet_mods, reps=REPS // 2)
+            tb = max(tfb - tf, 0.0)
+            results[f"ref_unet_fwd_k{ks}_s"] = tf
+            results[f"ref_unet_bwd_k{ks}_s"] = tb
+            results[f"ref_unet_fwd_k{ks}_vs_baseline"] = (
+                REF[("unet_fwd", ks)] / tf
+            )
+            if tb > 0:
+                results[f"ref_unet_bwd_k{ks}_vs_baseline"] = (
+                    REF[("unet_bwd", ks)] / tb
+                )
+            log(
+                f"ref-suite simple-UNet k={ks}: fwd {tf*1e3:.3f} ms "
+                f"({REF[('unet_fwd', ks)]/tf:.0f}x baseline), "
+                f"bwd {tb*1e3:.3f} ms"
+            )
+            flush()
+
+    # ---- 128-channel conv + useful MFU ----------------------------------
+    # "useful" = the GEMM FLOPs a perfect sparse conv needs
+    # (2·pairs·Cin·Cout); the one-hot gather FLOPs the kernel spends on
+    # top are implementation tax.  BASELINE.json names this metric.
+    with section("conv128-mfu"):
+        k128 = jnp.asarray(
+            np.random.RandomState(2).randn(27, 128, 128).astype(np.float32)
+        ) * 0.05
+        for tag, xt, km_t in (("uniform", x, kmap), ("surface26k", xh, kmap_h)):
+            f128 = jnp.concatenate([xt.padded_features] * 43, axis=1)[:, :128]
+
+            @jax.jit
+            def conv128_chain(f, w, km_=km_t):
+                o = f
+                for _ in range(REPS):
+                    o = sparse_conv_kmap(o, w, km_)
+                return o
+
+            t128, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [conv128_chain(f128, k128) for _ in range(CHAINS)]
+                ),
+                warmup=2, iters=5,
+            )
+            t128 = t128 / (CHAINS * REPS)
+            pairs = int(np.sum(np.asarray(km_t.in_idx) >= 0))
+            useful_tflops = 2 * pairs * 128 * 128 / t128 / 1e12
+            results[f"single_conv_fwd_k3_128ch_{tag}_s"] = t128
+            results[f"conv128_useful_tflops_{tag}"] = useful_tflops
+            results[f"conv128_useful_mfu_{tag}"] = useful_tflops / 197.0
+            log(
+                f"conv 128ch k=3 ({tag}): {t128*1e3:.3f} ms — useful "
+                f"{useful_tflops:.1f} TFLOP/s "
+                f"({100*useful_tflops/197.0:.1f}% MFU)"
+            )
+
+    # ---- larger surface cloud (50k): slab-span stress -------------------
+    # Real scans are 2-D surfaces in 3-D; per-tile index spans differ wildly
+    # from uniform-random clouds.  This validates the outlier-tolerant slab
+    # ladder at ~2× the headline size.
+    with section("surface-50k"):
+        s_coords, s_feats = surface_cloud("50k")
+        log(f"surface cloud: {len(s_coords)} voxels (room scan @ 5cm)")
+        xs = ME.SparseTensor(s_feats, s_coords)
+        ys = conv(xs)  # warm maps for the surface geometry
+        kmap_s = xs.coordinate_manager.kernel_map(
+            xs.coordinate_map_key, ys.coordinate_map_key,
+            kernel_size=3, stride=1,
+        )
+        fpad_s = xs.padded_features
+
+        @jax.jit
+        def conv_many_surface(f, w):
+            acc = 0.0
+            for i in range(REPS):
+                acc = acc + sparse_conv_kmap(f * scales[i], w, kmap_s)[0, 0]
+            return acc
+
+        ts_min, _ = timeit(
+            lambda: jax.block_until_ready(
+                [conv_many_surface(fpad_s, kernel) for _ in range(CHAINS)]
+            )
+        )
+        ts_min = ts_min / (CHAINS * REPS)
+        results["single_conv_fwd_k3_surface_s"] = ts_min
+        results["surface_cloud_voxels"] = len(s_coords)
+        log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
+
+        # measure the dense-grid path too when the dispatch would consider
+        # it (with outlier-tolerant slabs the sparse kernel should win)
+        plan_s = xs.coordinate_manager.dense_plan(xs.coordinate_map_key)
+        if dense_conv_beneficial(
+            plan_s, xs.capacity, 27, 3, 32,
+            cached_slab_size=(
+                kmap_s.fwd_slab.slab_size if kmap_s.fwd_slab else None
+            ),
+        ):
+            @jax.jit
+            def conv_many_surface_dense(f, w):
+                acc = 0.0
+                for i in range(REPS):
+                    acc = acc + dense_conv(
+                        f * scales[i], w, plan_s, (3, 3, 3), (1, 1, 1)
+                    )[0, 0]
+                return acc
+
+            tsd_min, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [conv_many_surface_dense(fpad_s, kernel)
+                     for _ in range(CHAINS)]
+                )
+            )
+            tsd_min = tsd_min / (CHAINS * REPS)
+            results["single_conv_fwd_k3_surface_dense_s"] = tsd_min
+            log(
+                f"single conv fwd (surface cloud, dense dispatch): "
+                f"min {tsd_min*1e3:.3f} ms"
+            )
+            results["single_conv_fwd_k3_surface_best_s"] = min(ts_min, tsd_min)
+
+    # ---- e2e including coordinate-map + kernel-map build (cold) ---------
+    sync_floor = 3 * results.get("tunnel_sync_latency_s", 0.0)
+    with section("cold-e2e"):
+        def run_cold():
+            mgr = ME.CoordinateManager(D=3)
+            xt = ME.SparseTensor(feats, coords, coordinate_manager=mgr)
+            yt = conv(xt)
+            yt.padded_features.block_until_ready()
+
+        tc_min, _ = timeit(run_cold, warmup=2, iters=5)
+        results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
+        results["single_conv_fwd_k3_cold_e2e_net_s"] = max(
+            tc_min - sync_floor, 0.0
+        )
+        log(
+            f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms "
+            f"(~{sync_floor*1e3:.0f} ms of that is 3x tunnel sync latency; "
+            f"net {max(tc_min - sync_floor, 0.0)*1e3:.1f} ms)"
+        )
+
+    # ---- kernel map build alone -----------------------------------------
+    with section("kmap-build"):
+        def run_kmap():
+            mgr = ME.CoordinateManager(D=3)
+            key, _ = mgr.insert_and_map(coords)
+            okey = mgr.stride(key, 1)
+            km = mgr.kernel_map(key, okey, kernel_size=3, stride=1)
+            km.in_idx.block_until_ready()
+
+        tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
+        results["kernel_map_build_k3_s"] = tk_min
+        results["kernel_map_build_k3_net_s"] = max(tk_min - sync_floor, 0.0)
+        log(
+            f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms "
+            f"(net of 3x tunnel sync: "
+            f"{max(tk_min - sync_floor, 0.0)*1e3:.1f} ms)"
+        )
+
+    # ---- bf16 capacity: peak HBM of a big warm train step ------------
+    # bf16 gives no speed on v5e (f32 runs at bf16 MXU rate), but it
+    # halves activation memory; quantify the claim with measured peak
+    # HBM instead of asserting it.
+    try:
+        big_coords, big_feats = make_cloud(
+            n_target=104_000, grid=(160, 160, 80), batch=4, seed=41
+        )
+        xb = ME.SparseTensor(big_feats, big_coords)
+        _ = net(xb)  # build + cache the 104k-geometry maps eagerly
+        # bf16 FIRST: peak_bytes_in_use never resets within a process,
+        # so measure the smaller footprint before the larger one
+        for dt, tag in ((jnp.bfloat16, "bf16"), (None, "f32")):
+            ME.set_compute_dtype(dt)
+            try:
+                @nnx.jit
+                def step_big(model, f):
+                    def loss_fn(m):
+                        xt = ME.SparseTensor(
+                            f,
+                            coordinate_map_key=xb.coordinate_map_key,
+                            coordinate_manager=xb.coordinate_manager,
+                        )
+                        return jnp.sum(
+                            m(xt).padded_features.astype(jnp.float32) ** 2
+                        )
+
+                    return nnx.value_and_grad(loss_fn)(model)
+
+                out = step_big(net, xb.padded_features)
+                jax.block_until_ready(jax.tree.leaves(out))
+                stats = jax.devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use", 0)
+                results[f"minkunet34_104k_peak_hbm_{tag}_gb"] = (
+                    peak / 2**30
+                )
+                log(f"104k-voxel batch=4 step peak HBM ({tag}): "
+                    f"{peak/2**30:.2f} GiB")
+            finally:
+                ME.set_compute_dtype(None)
+    except Exception as e:
+        log(f"bf16 capacity bench failed: {e!r}")
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)
