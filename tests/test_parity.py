@@ -186,7 +186,8 @@ class TestUtilities:
     def test_summary(self):
         net = ME.MinkowskiConvolution(3, 8, kernel_size=3, dimension=2)
         text = summary(net)
-        assert "total parameters" in text
+        assert "total trainable params" in text
+        assert "216" in text  # 3*3 kernel x 3 in x 8 out
 
     def test_spmm_function_parity(self):
         rows = jnp.array([0, 1, 1])
