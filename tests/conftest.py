@@ -22,5 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: first-contact XLA compiles dominate the
+# suite's wall time (a single k=7 kernel-map build compiles ~29 s cold,
+# ~1 s warm).  The cache is keyed on program + flags, so the 8-device CPU
+# programs never collide with the TPU cache entries in bench runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
