@@ -74,7 +74,12 @@ from .diagnostics import (
     is_cuda_available,
     print_diagnostics,
 )
-from .config import compute_dtype, set_compute_dtype
+from .config import (
+    compute_dtype,
+    set_compute_dtype,
+    set_spatial_execution,
+    spatial_execution,
+)
 from . import models
 from . import parallel
 

@@ -25,6 +25,41 @@ def compute_dtype():
     return _compute_dtype
 
 
+_spatial_ctx = None
+
+
+def set_spatial_execution(mesh, axis_name: str = "space") -> None:
+    """Route every sparse convolution through the halo-exchange spatial
+    path (parallel/spatial.py): features row-sharded P(axis_name, None)
+    over ``mesh``, one ppermute halo per side, dW psum-reduced.  Pass
+    ``mesh=None`` to clear.  Requires warm geometry (halos are measured
+    per kernel map and cached); elementwise/norm ops auto-partition via
+    GSPMD."""
+    global _spatial_ctx
+    _spatial_ctx = None if mesh is None else (mesh, axis_name)
+
+
+def spatial_execution_ctx():
+    return _spatial_ctx
+
+
+class spatial_execution:
+    """Context manager: ``with ME.spatial_execution(mesh): net(x)`` runs
+    every conv spatially sharded (see set_spatial_execution)."""
+
+    def __init__(self, mesh, axis_name: str = "space"):
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+    def __enter__(self):
+        set_spatial_execution(self.mesh, self.axis_name)
+        return self
+
+    def __exit__(self, *exc):
+        set_spatial_execution(None)
+        return False
+
+
 def set_force_xla_conv(value: bool) -> None:
     """Force the XLA (gather-einsum) sparse-conv path instead of the fused
     Pallas kernel.  Required for GSPMD-partitioned (tensor-parallel)

@@ -177,13 +177,14 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
     def _dense_dispatch(self, input, coordinates, feats) -> bool:
         """Use the dense-grid path when it's the cheaper stride-1 strategy
         (ops/dense_conv.py).  ConvolutionMode.COPY_GEMM forces sparse."""
-        from ..config import compute_dtype  # noqa: F401 (keeps import local)
+        from ..config import compute_dtype, spatial_execution_ctx  # noqa: F401
         from ..ops.dense_conv import dense_conv_beneficial
         from ..types import ConvolutionMode
 
         kg = self.kernel_generator
         if (
-            coordinates is not None
+            spatial_execution_ctx() is not None  # halo path needs the kmap
+            or coordinates is not None
             or self.is_transpose
             or self.expand_coordinates
             or not kg.requires_strided_coordinates  # stride != 1

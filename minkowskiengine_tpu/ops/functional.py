@@ -279,6 +279,19 @@ def use_pallas_conv(kmap: KernelMap, feats, kernel) -> bool:
 
 
 def sparse_conv_kmap(feats, kernel, kmap: KernelMap):
+    from ..config import spatial_execution_ctx
+
+    sp = spatial_execution_ctx()
+    if sp is not None:
+        # Spatial sharding: the halo-exchange conv (parallel/spatial.py).
+        # halo=None measures the exact per-map halos (host-cached), so the
+        # dropped-pair count is structurally zero.
+        from ..parallel.spatial import spatial_conv_apply
+
+        out, _dropped = spatial_conv_apply(
+            feats, kernel, kmap, mesh=sp[0], axis_name=sp[1]
+        )
+        return out.astype(feats.dtype)
     if use_pallas_conv(kmap, feats, kernel):
         return _sparse_conv_pallas_jit(
             feats, kernel, kmap.fwd_slab, kmap.bwd_slab,

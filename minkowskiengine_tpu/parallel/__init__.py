@@ -12,6 +12,7 @@ from .spatial import (
     make_spatial_mesh,
     required_halo,
     shard_rows,
+    shard_sparse_tensor,
     spatial_conv_apply,
     spatial_global_avg,
     spatial_global_sum,

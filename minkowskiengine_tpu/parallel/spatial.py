@@ -59,6 +59,7 @@ from ..ops.functional import take_rows
 __all__ = [
     "make_spatial_mesh",
     "shard_rows",
+    "shard_sparse_tensor",
     "required_halo",
     "spatial_conv_apply",
     "spatial_global_avg",
@@ -80,6 +81,25 @@ def shard_rows(arr, mesh: Mesh, axis_name: str = "space"):
     """Place a (rows, ch) array as contiguous per-device row blocks."""
     spec = P(axis_name, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def shard_sparse_tensor(x, mesh: Mesh, axis_name: str = "space"):
+    """A SparseTensor whose padded feature rows are spatially sharded
+    (same geometry/manager).  Use together with
+    ``ME.spatial_execution(mesh)`` to run whole models over one sharded
+    cloud::
+
+        xs = shard_sparse_tensor(x, mesh)
+        with ME.spatial_execution(mesh):
+            y = net(xs)          # every conv runs the halo path
+    """
+    from ..sparse_tensor import SparseTensor
+
+    return SparseTensor(
+        shard_rows(x.padded_features, mesh, axis_name),
+        coordinate_map_key=x.coordinate_map_key,
+        coordinate_manager=x.coordinate_manager,
+    )
 
 
 def _round_up(x: int, m: int) -> int:

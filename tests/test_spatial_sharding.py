@@ -190,3 +190,65 @@ def test_global_pool_sharded(setup):
         rows = fnp[valid & (coords[:, 0] == b)]
         np.testing.assert_allclose(np.asarray(s[b]), rows.sum(0), atol=1e-4)
         np.testing.assert_allclose(np.asarray(a[b]), rows.mean(0), atol=1e-5)
+
+
+class TestModelLevel:
+    """Whole-model spatial sharding via ``ME.spatial_execution`` — every
+    conv (incl. the k=5 stem and the transpose-conv decoder: the halo
+    path on ``swap()``ped strided maps) runs halo-sharded; BN/ReLU/cat
+    auto-partition under GSPMD."""
+
+    @pytest.fixture(scope="class")
+    def unet_fixture(self):
+        from minkowskiengine_tpu.models import MinkUNet14A
+        from minkowskiengine_tpu.utils.datasets import room_scan_voxels
+
+        coords, feats = room_scan_voxels(
+            voxel_size=0.12, n_points=8_000, extent=(1.2, 1.2, 1.4),
+            n_objects=2, seed=5,
+        )
+        x = ME.SparseTensor(feats, coords)
+        net = MinkUNet14A(3, 4, D=3)
+        net.eval()  # frozen BN stats: no state mutation between runs
+        y_ref = net(x)  # single device, warms every coordinate/kernel map
+        return x, net, y_ref
+
+    @pytest.mark.slow
+    def test_minkunet_forward_equal(self, unet_fixture):
+        from minkowskiengine_tpu.parallel import shard_sparse_tensor
+
+        x, net, y_ref = unet_fixture
+        mesh = make_spatial_mesh(8)
+        xs = shard_sparse_tensor(x, mesh)
+        with ME.spatial_execution(mesh):
+            y_sp = net(xs)
+        np.testing.assert_allclose(
+            np.asarray(y_sp.padded_features),
+            np.asarray(y_ref.padded_features),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    @pytest.mark.slow
+    def test_minkunet_backward_equal(self, unet_fixture):
+        from flax import nnx
+
+        from minkowskiengine_tpu.parallel import shard_sparse_tensor
+
+        x, net, _ = unet_fixture
+        mesh = make_spatial_mesh(8)
+        xs = shard_sparse_tensor(x, mesh)
+
+        def loss(model, xt):
+            return jnp.sum(model(xt).padded_features ** 2)
+
+        g_ref = nnx.grad(loss)(net, x)
+        with ME.spatial_execution(mesh):
+            g_sp = nnx.grad(loss)(net, xs)
+        scale = max(
+            float(jnp.max(jnp.abs(l))) for l in jax.tree.leaves(g_ref)
+        )
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                rtol=2e-3, atol=2e-4 * max(scale, 1.0),
+            )
