@@ -61,6 +61,14 @@ from .nn.norm import MinkowskiInstanceNormFunction
 from .nn.pruning import MinkowskiPruningFunction
 from .nn.union import MinkowskiUnionFunction
 from . import utils
+
+# `from .nn import *` above shadowed the `ops` SUBPACKAGE attribute with the
+# `nn.ops` module (and `from . import ops` would keep the stale attribute
+# since the submodule is already in sys.modules) — re-bind it explicitly so
+# `ME.ops` / `import minkowskiengine_tpu.ops.x as y` resolve to the package.
+import sys as _sys
+
+ops = _sys.modules[__name__ + ".ops"]
 from .sparse_matrix_functions import (
     MinkowskiSPMMAverageFunction,
     MinkowskiSPMMFunction,
