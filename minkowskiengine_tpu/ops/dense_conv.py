@@ -257,6 +257,159 @@ def dense_conv_beneficial(
     return dense_train < sparse_train
 
 
+_CONV_SPECS = {
+    1: ("NWC", "WIO", "NWC"),
+    2: ("NHWC", "HWIO", "NHWC"),
+    3: ("NDHWC", "DHWIO", "NDHWC"),
+}
+
+
+def _dim_numbers(dense_shape, w_shape, D):
+    if D not in _CONV_SPECS:
+        raise NotImplementedError(f"dense dispatch for D={D}")
+    return jax.lax.conv_dimension_numbers(
+        dense_shape, w_shape, _CONV_SPECS[D]
+    )
+
+
+def _raw_dense_conv(dense, w, ks, dilation, padding):
+    # no explicit preferred_element_type: XLA convs accumulate f32 for bf16
+    # inputs internally, and mixed preferred dtypes break the conv VJP
+    D = len(ks)
+    return jax.lax.conv_general_dilated(
+        dense,
+        w,
+        window_strides=(1,) * D,
+        padding=list(padding),
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=_dim_numbers(dense.shape, w.shape, D),
+    )
+
+
+_DW_CHUNK_BYTES = 192 * 1024 * 1024
+
+
+def _patch_rows(xs, out_spatial, ks, dilation):
+    """(rows, cin·K) patch matrix of a pre-padded grid slice by stacking
+    the K shifted views (feature order: cin slow, offsets row-major fast —
+    the `conv_general_dilated_patches` layout, but formed as ONE fused XLA
+    copy program: the grouped-conv formation that helper lowers to
+    measured 5.3 ms at K=343 where plain shifted slices cost HBM traffic
+    only)."""
+    import itertools
+
+    D = len(ks)
+    views = []
+    for off in itertools.product(*[range(k) for k in ks]):
+        v = xs
+        for d, o in enumerate(off):
+            v = jax.lax.slice_in_dim(
+                v, o * dilation[d], o * dilation[d] + out_spatial[d],
+                axis=1 + d,
+            )
+        views.append(v)
+    stacked = jnp.stack(views, axis=-1)  # (B, *out_spatial, cin, K)
+    cin = xs.shape[-1]
+    return stacked.reshape(-1, cin * len(views))
+
+
+def _dw_patches(dense, g, ks, dilation, padding):
+    """Dense filter gradient as an im2col GEMM.
+
+    XLA's own conv-backprop-filter degrades sharply at sparse-channel
+    widths × large kernel volumes (measured 23.8 ms for the 5³ 3→32 stem
+    on a 459k-cell grid — 3.2× its forward); forming the patch matrix
+    (cells, Cin·K) by stacking shifted slices and contracting it against
+    the flattened cotangent in ONE long-K MXU GEMM has exactly the
+    forward's FLOP count and none of the filter-grad kernel's
+    inefficiency.  Chunked along the first spatial axis to bound the
+    patch buffer.
+
+    Returns dW in standard (*ks, cin, cout) layout, f32.
+    """
+    D = len(ks)
+    cin = dense.shape[-1]
+    cout = g.shape[-1]
+    K = math.prod(ks)
+    cells = math.prod(dense.shape[:-1])
+    n_chunk = int(
+        max(1, -(-cells * cin * K * dense.dtype.itemsize // _DW_CHUNK_BYTES))
+    )
+    # pre-pad every spatial dim, then walk equal-length windows of the
+    # first spatial axis (equal chunks = ONE compiled shape; zero-padded
+    # tail rows of g contribute zero)
+    E1 = g.shape[1]
+    step = -(-E1 // n_chunk)
+    eff1 = dilation[0] * (ks[0] - 1)
+    pads = [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)]
+    pads[1] = (padding[0][0], padding[0][1] + n_chunk * step - E1)
+    xp = jnp.pad(dense, pads)
+    gp = g
+    if n_chunk * step != E1:
+        gp = jnp.pad(g, [(0, 0), (0, n_chunk * step - E1)] + [(0, 0)] * D)
+    out_spatial = (step,) + tuple(g.shape[2 : 1 + D])
+    dwflat = jnp.zeros((cin * K, cout), jnp.float32)
+    for c in range(n_chunk):
+        xs = jax.lax.slice_in_dim(
+            xp, c * step, c * step + step + eff1, axis=1
+        )
+        dwflat = dwflat + jax.lax.dot_general(
+            _patch_rows(xs, out_spatial, ks, dilation),
+            jax.lax.slice_in_dim(gp, c * step, (c + 1) * step, axis=1)
+            .reshape(-1, cout),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    # patch features are channel-major: (cin, *ks) varying spatial fastest
+    dw = dwflat.reshape((cin,) + tuple(ks) + (cout,))
+    return jnp.transpose(dw, tuple(range(1, D + 1)) + (0, D + 1))
+
+
+def _use_patches_dw(ks, cin, cout, cells) -> bool:
+    """Patches-GEMM beats XLA's filter-grad only when the channel width is
+    tiny relative to the kernel volume (measured on v5e, 110k-cell surface
+    grid, fwd+bwd chains: k=3 3→32 XLA 1.40 ms bwd vs patches 0.69; k=5
+    3→32 6.22 vs 4.41 — but k=3 128→128 1.85 vs 25.3 and k=5 32→32 5.76
+    vs 38.9: at real channel widths the patch matrix is its own HBM
+    problem).  Gate on tiny cin AND a bounded patch buffer."""
+    return (
+        math.prod(ks) >= 27
+        and min(cin, cout) <= 8
+        and cells * cin * math.prod(ks) * 4 <= 512 * 1024 * 1024
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dense_conv_core(dense, w, ks, dilation, padding):
+    return _raw_dense_conv(dense, w, ks, dilation, padding)
+
+
+def _dense_conv_core_fwd(dense, w, ks, dilation, padding):
+    return _raw_dense_conv(dense, w, ks, dilation, padding), (dense, w)
+
+
+def _dense_conv_core_bwd(ks, dilation, padding, res, g):
+    dense, w = res
+    # d_input: XLA's conv-input-grad is efficient at every shape — reuse it
+    _, vjp_x = jax.vjp(
+        lambda d: _raw_dense_conv(d, w, ks, dilation, padding), dense
+    )
+    (dx,) = vjp_x(g)
+    if _use_patches_dw(
+        ks, dense.shape[-1], g.shape[-1], math.prod(dense.shape[:-1])
+    ):
+        dw = _dw_patches(dense, g, ks, dilation, padding).astype(w.dtype)
+    else:
+        _, vjp_w = jax.vjp(
+            lambda ww: _raw_dense_conv(dense, ww, ks, dilation, padding), w
+        )
+        (dw,) = vjp_w(g)
+    return dx, dw
+
+
+_dense_conv_core.defvjp(_dense_conv_core_fwd, _dense_conv_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def dense_conv(
     feats: jnp.ndarray,  # (C, Cin) padded map-aligned features
@@ -300,30 +453,8 @@ def dense_conv(
         else:
             padding.append((0, dil * (k - 1)))
 
-    if D == 3:
-        dn = jax.lax.conv_dimension_numbers(
-            dense.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC")
-        )
-    elif D == 2:
-        dn = jax.lax.conv_dimension_numbers(
-            dense.shape, w.shape, ("NHWC", "HWIO", "NHWC")
-        )
-    elif D == 1:
-        dn = jax.lax.conv_dimension_numbers(
-            dense.shape, w.shape, ("NWC", "WIO", "NWC")
-        )
-    else:
-        raise NotImplementedError(f"dense dispatch for D={D}")
-
-    # no explicit preferred_element_type: XLA convs accumulate f32 for bf16
-    # inputs internally, and mixed preferred dtypes break the conv VJP
-    out_dense = jax.lax.conv_general_dilated(
-        dense,
-        w,
-        window_strides=(1,) * D,
-        padding=padding,
-        rhs_dilation=tuple(dilation),
-        dimension_numbers=dn,
+    out_dense = _dense_conv_core(
+        dense, w, ks, tuple(dilation), tuple(tuple(p) for p in padding)
     ).astype(feats.dtype)
 
     flat_out = out_dense.reshape(cells, cout)
