@@ -460,15 +460,23 @@ def merge_slab_floor(prev, new):
     return tuple(max(a, b) for a, b in zip(prev, new))
 
 
-_MAX_OUTLIERS = 16384
-_OUTLIER_FRAC = 0.01
+_MAX_OUTLIERS = 32768
+_OUTLIER_FRAC = 0.03
 _MIN_OV_CAP = 256
 
 
 def _outlier_budget(total_pairs: int) -> int:
-    """Largest outlier count worth trading for a smaller slab rung: a
-    bounded fraction of all pairs (the correction pass costs
-    K·P·Cin·Cout MXU FLOPs) with an absolute cap."""
+    """Largest outlier count worth trading for a smaller slab/sub-window
+    rung: a bounded fraction of all pairs (the correction pass costs
+    K·P·Cin·Cout MXU FLOPs) with an absolute cap.
+
+    3% (was 1%): the gather-as-matmul tax scales with the window width,
+    so absorbing the span tail into the correction list is the main MFU
+    lever — on the headline surface cloud the two-tier counts at
+    S'=128..160 sit at 1.4-1.7% of pairs, which a 1% budget rejected,
+    leaving the kernel contracting full 512-row slabs (measured: the
+    128-ch surface conv ran at 85% MXU utilization but spent 4× the
+    useful FLOPs on the wide one-hot)."""
     return int(min(_MAX_OUTLIERS, max(1024, _OUTLIER_FRAC * total_pairs)))
 
 
@@ -990,9 +998,9 @@ def sparse_conv_fwd_pallas(
 def _conv_dw_kernel(
     starts_ref,  # (K (+K·J), nt) SMEM
     local_ref,  # (1, K, T) VMEM — this tile's local indices
-    g_ref,  # (T, Cout) VMEM — grad tile
+    gt_ref,  # (Cout, T) VMEM — PRE-TRANSPOSED grad tile
     feats_hbm,  # (Ci, Cin) ANY
-    dw_ref,  # (K, Cin, Cout) VMEM — revisited across every tile
+    dwt_ref,  # (K, Cout, Cin) VMEM — dWᵀ, revisited across every tile
     slab_ref,  # (2, S, Cin) double-buffered
     sem,  # (2,)
     *,
@@ -1002,15 +1010,23 @@ def _conv_dw_kernel(
     sub_size: int = 0,
     ntef_row: int = -1,
 ):
-    """dW[k] = Σ_t gatheredᵀ_{k,t} @ g_t — one grid step per tile, offsets in
-    an inner loop, accumulating directly into the W-shaped output block
+    """dWᵀ[k] = Σ_t gᵀ_t @ gathered_{k,t} — one grid step per tile, offsets
+    in an inner loop, accumulating directly into the Wᵀ-shaped output block
     (constant block index ⇒ stays resident in VMEM across the grid).
+
+    The cotangent arrives PRE-TRANSPOSED (one cheap XLA transpose outside
+    the kernel) and the output is dWᵀ (swapped back outside): this keeps
+    every MXU contraction in standard row-major orientation.  The naive
+    ``gatheredᵀ @ g`` (contraction on dim 0 of both) made Mosaic relayout
+    the freshly-gathered (T, Cin) block on EVERY (offset, tile) step —
+    measured 1.56× the forward at k=3 where the FLOPs say it should match.
 
     ``ntef_row``: see _conv_fwd_kernel — dead tiles gather all-zeros (every
     local index is the zero-row sentinel), so skipping them entirely is
     exact regardless of the cotangent's padding rows."""
     t = pl.program_id(0)
     n_buf = slab_ref.shape[0]
+    T = gt_ref.shape[-1]
 
     def slab_copy(kk, sl):
         start = pl.multiple_of(starts_ref[kk, t], 16)
@@ -1022,7 +1038,7 @@ def _conv_dw_kernel(
 
     @pl.when(t == 0)
     def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
 
     def compute():
         for j in range(min(n_buf, num_k)):
@@ -1035,20 +1051,17 @@ def _conv_dw_kernel(
                 gathered = _sub_gathered(
                     local_ref, k, t, starts_ref, num_k,
                     lambda rel: slab_ref[slot, pl.ds(rel, sub_size), :],
-                    sub_size, g_ref.shape[0], g_ref.dtype,
+                    sub_size, T, gt_ref.dtype,
                 )
             else:
                 li = local_ref[0, pl.ds(k, 1), :]
                 gathered = _onehot_gather(
-                    li, slab_ref[slot], slab_size, g_ref.dtype
+                    li, slab_ref[slot], slab_size, gt_ref.dtype
                 )
-            contrib = jax.lax.dot_general(
-                gathered,
-                g_ref[...],
-                (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
-                preferred_element_type=jnp.float32,
+            contrib = jnp.dot(  # (Cout, T) @ (T, Cin) — standard orientation
+                gt_ref[...], gathered, preferred_element_type=jnp.float32
             )
-            dw_ref[pl.ds(k, 1), :, :] += contrib[None]
+            dwt_ref[pl.ds(k, 1), :, :] += contrib[None]
 
             @pl.when(k + n_buf < num_k)
             def _():
@@ -1067,9 +1080,9 @@ def _conv_dw_kernel(
 def _conv_dw_kernel_union(
     starts_ref,  # (K+1 (+K·J), nt) SMEM — row K = union starts
     local_ref,  # (1, K, T) VMEM
-    g_ref,  # (T, Cout) VMEM — grad tile
+    gt_ref,  # (Cout, T) VMEM — PRE-TRANSPOSED grad tile
     feats_hbm,  # (Ci, Cin) ANY
-    dw_ref,  # (K, Cin, Cout) VMEM — revisited across every tile
+    dwt_ref,  # (K, Cout, Cin) VMEM — dWᵀ, revisited across every tile
     slab_ref,  # (2, U, Cin)
     sem,  # (2,)
     *,
@@ -1080,11 +1093,13 @@ def _conv_dw_kernel_union(
     sub_size: int = 0,
     ntef_row: int = -1,
 ):
-    """Union-slab dW: one per-tile DMA (see _conv_fwd_kernel_union).
+    """Union-slab dW: one per-tile DMA (see _conv_fwd_kernel_union);
+    transposed-cotangent orientation (see _conv_dw_kernel).
 
     ``ntef_row``: see _conv_dw_kernel."""
     t = pl.program_id(0)
     nte = starts_ref[ntef_row, 0] if ntef_row >= 0 else num_t
+    T = gt_ref.shape[-1]
 
     def tile_copy(tt, sl):
         u = pl.multiple_of(starts_ref[num_k, tt], 16)
@@ -1106,7 +1121,7 @@ def _conv_dw_kernel_union(
 
     @pl.when(t == 0)
     def _():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dwt_ref[...] = jnp.zeros_like(dwt_ref)
 
     def compute():
         tile_copy(t, slot).wait()
@@ -1120,19 +1135,16 @@ def _conv_dw_kernel_union(
                     lambda sr: slab_ref[
                         slot, pl.ds(pl.multiple_of(rel + sr, 16), sub_size), :
                     ],
-                    sub_size, g_ref.shape[0], g_ref.dtype,
+                    sub_size, T, gt_ref.dtype,
                 )
             else:
                 li = local_ref[0, pl.ds(k, 1), :]
                 window = slab_ref[slot, pl.ds(rel, slab_size), :]
-                gathered = _onehot_gather(li, window, slab_size, g_ref.dtype)
-            contrib = jax.lax.dot_general(
-                gathered,
-                g_ref[...],
-                (((0,), (0,)), ((), ())),  # gatheredᵀ @ g
-                preferred_element_type=jnp.float32,
+                gathered = _onehot_gather(li, window, slab_size, gt_ref.dtype)
+            contrib = jnp.dot(  # (Cout, T) @ (T, Cin) — standard orientation
+                gt_ref[...], gathered, preferred_element_type=jnp.float32
             )
-            dw_ref[pl.ds(k, 1), :, :] += contrib[None]
+            dwt_ref[pl.ds(k, 1), :, :] += contrib[None]
             return 0
 
         jax.lax.fori_loop(0, num_k, body, 0)
@@ -1159,6 +1171,9 @@ def sparse_conv_dw_pallas(
     S = slab_map.slab_size
     Ci, Cin = feats.shape
     Cout = g.shape[-1]
+    # one XLA transpose outside the kernel keeps every per-(offset, tile)
+    # MXU contraction standard-orientation inside it (see _conv_dw_kernel)
+    g_t = jnp.swapaxes(g, 0, 1)
 
     sub = slab_map.sub_size if slab_map.sub_rel is not None else 0
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
@@ -1197,26 +1212,26 @@ def sparse_conv_dw_pallas(
                 memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (T, Cout), lambda t, s: (t, 0), memory_space=pltpu.VMEM
+                (Cout, T), lambda t, s: (0, t), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (K, Cin, Cout), lambda t, s: (0, 0, 0), memory_space=pltpu.VMEM
+            (K, Cout, Cin), lambda t, s: (0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=scratch,
     )
-    dw = pl.pallas_call(
+    dwt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((K, Cin, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, Cout, Cin), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * K * nt * T * ((sub or S) + Cout) * Cin,
             bytes_accessed=dma_bytes + nt * T * Cout * 4,
             transcendentals=0,
         ),
-    )(prefetch, slab_map.local_tk, g, feats)
-    return dw[:, :true_cin, :]
+    )(prefetch, slab_map.local_tk, g_t, feats)
+    return jnp.swapaxes(dwt, 1, 2)[:, :true_cin, :]
 
 
 def pallas_conv_supported(slab_map: Optional[SlabMap], weights_shape) -> bool:
