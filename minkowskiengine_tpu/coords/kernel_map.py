@@ -328,20 +328,26 @@ _MAX_SHIFT_STACK = 32 * 1024 * 1024
 # kernel-map grid-build strategy: "slices" (per-group (1, W)-window
 # gathers from the flat padded grid — no grid-sized temps) or "stack"
 # (K shifted grid copies + transpose).  ME_GRID_BUILD forces one mode
-# everywhere (A/B measurement); unset, the mode is chosen per build:
-# TPU A/B (r3): inside the fused traced/deferred replay slices wins
-# (MinkUNet34 phase 37.1/40.0 ms min/mean vs stack 38.1/42.3) and never
-# materializes the (cells, K) stack, so it is also the memory-safe
-# choice; but EAGER builds run each window-group gather as a separate
-# dispatch and measured ~2.5× slower cold (kmap build 345 ms vs 134),
-# so the un-deferred path keeps the stack.
+# everywhere (A/B measurement); unset, every build uses the stack.
+#
+# History: r3's A/B on 26k room scans (70k-cell grids) measured slices
+# marginally ahead inside the fused replay (37.1 vs 38.1 ms phase) and it
+# became the deferred default.  r4 found that on larger grids (uniform
+# 26k cloud, 459k-cell stride-1 grid) XLA's GatherExpander rewrites the
+# per-row window gather into a SERIAL 32k-iteration while loop inside the
+# fused phase program (25.7 ms per gather, 11 of them — traced xplane
+# evidence): the uniform fresh-geometry MinkUNet34 phase was 792 ms under
+# slices vs 18.5 ms under stack, while surface phases measure the same.
+# The standalone (un-fused) gather vectorizes fine at every size tested —
+# the expansion only fires inside the big replay program, so no
+# shape-based heuristic is trustworthy.  Stack everywhere.
 _GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD")  # None → auto
 
 
 def _grid_build_mode(deferred: bool) -> str:
     if _GRID_BUILD_MODE:
         return _GRID_BUILD_MODE
-    return "slices" if deferred else "stack"
+    return "stack"
 
 
 def _window_groups(cell_offs):
