@@ -63,6 +63,7 @@ class TestCompletion:
 
 
 class TestVAE:
+    @pytest.mark.slow
     def test_forward(self):
         mgr = ME.CoordinateManager(D=3)
         coords, feats = voxel_shape(n=80, res=64, seed=4)

@@ -89,6 +89,7 @@ class TestGeometryPipeline:
             M.jax.device_get = orig
         assert count[0] == 1, f"deferred replay used {count[0]} syncs"
 
+    @pytest.mark.slow
     def test_capacity_floor_ratchet(self, warm):
         """A much larger batch must not be silently truncated: the deferred
         replay detects the floor violation and re-runs in sync mode."""
@@ -195,6 +196,7 @@ class TestGeometryPipeline:
 
 
 class TestFloorViolationRecovery:
+    @pytest.mark.slow
     def test_ratchet_and_retry_reproduces_eager(self, warm):
         """The documented recovery protocol — traced replay, ok=False ⇒
         sync-replay (ratchet) + adopt + RE-JIT — must end bit-comparable

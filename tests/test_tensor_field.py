@@ -1,6 +1,7 @@
 """TensorField: voxelize, slice, splat, interpolation round trips."""
 
 import numpy as np
+import pytest
 
 import minkowskiengine_tpu as ME
 
@@ -139,6 +140,7 @@ class TestSplatWiring:
             np.asarray(st.F).sum(), total, rtol=1e-4
         )
 
+    @pytest.mark.slow
     def test_splat_fcnn_end_to_end(self):
         from flax import nnx
         from minkowskiengine_tpu.models import MinkowskiSplatFCNN
