@@ -4,10 +4,15 @@ k=3 and k=5 on the headline surface-26k cloud.  Drives VERDICT item 2
 (bwd k=5 is 3.0x baseline vs 89x fwd)."""
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# NOTE: do NOT use PYTHONPATH for this — setting it breaks the axon TPU
+# plugin's backend discovery on this box; sys.path.insert does not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -84,7 +89,10 @@ def main():
         )
         scales = jnp.linspace(0.5, 1.5, REPS)
 
-        def chain(fn):
+        def chain(fn, a0=None, b0=None):
+            a0 = fpad if a0 is None else a0
+            b0 = W if b0 is None else b0
+
             @jax.jit
             def many(a, b):
                 acc = 0.0
@@ -94,7 +102,7 @@ def main():
 
             t = timeit(
                 lambda: jax.block_until_ready(
-                    [many(fpad, W) for _ in range(CHAINS)]
+                    [many(a0, b0) for _ in range(CHAINS)]
                 )
             )
             return t / (CHAINS * REPS)
@@ -115,15 +123,17 @@ def main():
 
         # d_feats kernel (fwd kernel on bwd slab, transposed weights)
         t3 = chain(
-            lambda gg, w: sparse_conv_fwd_pallas(gg, Wt, bs, km.n_in)
+            lambda gg, w: sparse_conv_fwd_pallas(gg, w, bs, km.n_in),
+            a0=g, b0=Wt,
         )
         out[f"k{ks}_dfeats_kernel_ms"] = t3 * 1e3
         log(f"k={ks} d_feats kernel alone: {t3*1e3:.3f} ms")
 
         t4 = chain(
             lambda gg, w: _outlier_apply(
-                sparse_conv_fwd_pallas(gg, Wt, bs, km.n_in), gg, Wt, bs
-            )
+                sparse_conv_fwd_pallas(gg, w, bs, km.n_in), gg, w, bs
+            ),
+            a0=g, b0=Wt,
         )
         out[f"k{ks}_dfeats_outlier_ms"] = (t4 - t3) * 1e3
         log(f"k={ks} d_feats outlier pass: {(t4-t3)*1e3:.3f} ms")
