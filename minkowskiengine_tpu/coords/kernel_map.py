@@ -340,13 +340,26 @@ _MAX_SHIFT_STACK = 32 * 1024 * 1024
 # slices vs 18.5 ms under stack, while surface phases measure the same.
 # The standalone (un-fused) gather vectorizes fine at every size tested —
 # the expansion only fires inside the big replay program, so no
-# shape-based heuristic is trustworthy.  Stack everywhere.
+# shape-based heuristic is trustworthy.  Stack everywhere — EXCEPT
+# standalone (non-deferred) builds at large K: XLA's layout assignment
+# legalizes the final (K, cells)→(cells, K) transpose as a bitcast by
+# forcing a K-minor layout onto every concat operand, tile-padding each
+# (1, *ext) shifted slice 1 → 128 lanes (measured: 615 KB → 76.9 MB per
+# slice at a 54³ room grid; 209 live slices = 16 GB → OOM at k=7/343
+# offsets, silently ~10 GB at k=5).  The GatherExpander serialization
+# that disqualified slices only fires INSIDE the fused replay program,
+# and ``deferred`` is True exactly there — so standalone large-K builds
+# take the slices path (fine at every size tested standalone) while
+# fused builds keep the stack.
 _GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD")  # None → auto
+_STACK_MAX_STANDALONE_K = 128  # k=5/D=3 (125) keeps stack; k=7 (343) → slices
 
 
-def _grid_build_mode(deferred: bool) -> str:
+def _grid_build_mode(deferred: bool, num_offsets: int = 0) -> str:
     if _GRID_BUILD_MODE:
         return _GRID_BUILD_MODE
+    if not deferred and num_offsets > _STACK_MAX_STANDALONE_K:
+        return "slices"
     return "stack"
 
 
@@ -496,7 +509,7 @@ def _build_in_idx_grid(
     offsets = np.asarray(offsets)  # static host constants by construction
     K = int(offsets.shape[0])
     C_out = out_coords.shape[0]
-    if _grid_build_mode(deferred) == "slices":
+    if _grid_build_mode(deferred, K) == "slices":
         return _build_in_idx_slices(probe, out_coords, n_out, offsets)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
     cell_offs, req_cls = _cell_offsets_for(offsets, ts, grid_shape)

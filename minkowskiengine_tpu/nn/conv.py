@@ -210,6 +210,7 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
                 else None
             ),
         )
+        fs = cached_km.fwd_slab if cached_km is not None else None
         return dense_conv_beneficial(
             plan,
             input.capacity,
@@ -217,12 +218,16 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
             self.in_channels,
             self.out_channels,
             map_cached=cached_km is not None,
+            # effective one-hot contraction width: the sub-window rung
+            # when two-tier windows are enabled, else the slab rung
             cached_slab_size=(
-                # effective one-hot contraction width: the sub-window rung
-                # when two-tier windows are enabled, else the slab rung
-                (cached_km.fwd_slab.sub_size or cached_km.fwd_slab.slab_size)
-                if cached_km is not None and cached_km.fwd_slab is not None
-                else None
+                (fs.sub_size or fs.slab_size) if fs is not None else None
+            ),
+            cached_sub_tiles=(
+                (fs.tile // 64 if fs.sub_size else 1) if fs is not None else 1
+            ),
+            cached_ov_cap=(
+                int(fs.ov_cap or 0) if fs is not None else 0
             ),
         )
 

@@ -34,7 +34,7 @@ import numpy as np
 # channels); sparse k3 = 1.8 ms channel-independent ≤128ch, k5 = 7.8 ms
 # (≈0.5 µs per grid step); kernel-map build ≈ 0.013 µs per (offset, row)
 # pair (dominated by the 7 ns/elem HBM gather + the invert scatter).
-_DENSE_US_FIXED = 700.0  # scatter/conv/gather launch floor (65k-cell grid
+_DENSE_US_FIXED = 800.0  # scatter/conv/gather launch floor (65k-cell grid
 # convs measured ~1.7 ms where the linear model said 0.85 — profile r2)
 _DENSE_US_PER_CELL_BASE = 0.0105
 _DENSE_US_PER_CELL_CH = 0.00004  # per (cin + cout)
@@ -206,6 +206,8 @@ def dense_conv_beneficial(
     tile: int = 256,
     map_cached: bool = True,
     cached_slab_size: Optional[int] = None,
+    cached_sub_tiles: int = 1,
+    cached_ov_cap: int = 0,
 ) -> bool:
     """Cost model: dense scatter+conv+gather vs the sparse slab kernel.
 
@@ -215,12 +217,17 @@ def dense_conv_beneficial(
     more than either conv.  This is what routes MinkUNet's k=5 stem to the
     dense grid in the fresh-geometry training regime.
 
-    ``cached_slab_size``: the built map's slab rung S, when known.  The
-    slab kernel's per-step cost is dominated by the one-hot gather, which
-    scales with S: ``step_us ≈ 0.2 + 0.0005·S`` fits both a uniform cloud
-    (S=384 → 1.07 ms measured) and a surface scan (S=3328 → 12.9 ms) —
-    surface geometries have no row-locality under lexicographic order, so
-    their slabs explode and the dense grid wins at any channel width.
+    ``cached_slab_size``: the built map's effective one-hot width (S or the
+    two-tier sub-window S'); ``cached_sub_tiles``: J = T/SUB_TILE when
+    two-tier windows are on (each grid step then runs J narrow gathers with
+    their own fixed cost); ``cached_ov_cap``: outlier-correction list
+    capacity (the XLA correction pass is ~0.02 µs/pair — measured 0.27 ms
+    at 16k pairs k=3, 0.56 ms at 32k pairs k=5).  Per-step model
+    ``0.22 + 0.02·J + 0.0004·width`` fits the r4 profile: k=3
+    (S=320, S'=128, J=4) 0.32 µs/step measured, k=5 (S=512, S'=160, J=4)
+    0.40 µs/step — the old ``0.2 + 0.0005·S'`` ignored the J sub-matmul
+    dispatches and mispredicted k=5 sparse at 4.5 ms where it measures
+    6.4 ms (vs 1.37 ms dense — the r4 k=5 ref-suite regression).
     """
     if plan is None:
         return False
@@ -228,27 +235,40 @@ def dense_conv_beneficial(
     if cells * (cin + cout) * 4 > _MAX_DENSE_BYTES:
         return False
     kscale = (kernel_volume / 27.0) ** 0.3  # k5/k3 measured ratio ~1.57
+    # per-cell cost is sublinear in grid size (measured: 11.5 ns/cell on
+    # the 459k-cell uniform grid vs ~6 ns/cell·kscale on the 110k room
+    # grid — the r4 k=5 anchor: 1.37 ms where the linear model said 2.8)
+    base = _DENSE_US_PER_CELL_BASE * (cells / 459000.0) ** 0.7
     dense_us = _DENSE_US_FIXED + (
-        cells
-        * (_DENSE_US_PER_CELL_BASE + _DENSE_US_PER_CELL_CH * (cin + cout))
-        * kscale
+        cells * (base + _DENSE_US_PER_CELL_CH * (cin + cout)) * kscale
     )
     steps = max(n_points_capacity // tile, 1) * kernel_volume
     if cached_slab_size:
-        sparse_us = steps * (0.2 + 0.0005 * cached_slab_size)
+        sparse_us = steps * (
+            0.22 + 0.02 * max(cached_sub_tiles, 1)
+            + 0.0004 * cached_slab_size
+        ) + 0.02 * cached_ov_cap
     else:
         sparse_us = steps * _SPARSE_US_PER_STEP
     # Training weights (profile-anchored, r2): sparse bwd ≈ 0.6× fwd.
-    # Dense dx ≈ 0.2× fwd, but the dense WEIGHT grad degrades sharply with
-    # kernel volume at sparse-channel widths — measured dW/fwd ≈ 0.5 at
-    # k=3 and ≈ 3.2 at k=5 (XLA's filter-grad conv over the 459k-cell grid
-    # cost 23.8 ms for the 5³×3→32 stem).  This is what routes the stem to
-    # the SPARSE path now that the shifted-grid map build is ~0.6 ms.
+    # Dense dx ≈ 0.2× fwd; the dense WEIGHT grad via XLA's filter-grad
+    # degrades sharply with kernel volume at sparse-channel widths
+    # (23.8 ms for the 5³×3→32 stem on a 459k-cell grid) — but when the
+    # patches-GEMM dW applies (tiny channels, _use_patches_dw) it has the
+    # forward's FLOP count and measures ≈3.2× fwd at k=5 regardless of K.
     dw_ratio = 0.5 * (kernel_volume / 27.0) ** 1.2
-    # 0.8: measured in-situ bias — XLA dense convs overlap with neighboring
-    # ops while the serial slab kernels don't, so prefer dense near ties
-    # (flipping the stride-2 block convs to sparse cost ~10% step time)
-    dense_train = 0.8 * dense_us * (1.2 + dw_ratio)
+    if (  # _use_patches_dw's gate, dimension-agnostic via kernel_volume
+        kernel_volume >= 27
+        and min(cin, cout) <= 8
+        and cells * cin * kernel_volume * 4 <= 512 * 1024 * 1024
+    ):
+        dw_ratio = min(dw_ratio, 3.2)
+    # In-situ bias: XLA dense convs overlap with neighboring ops while the
+    # serial slab kernels don't — but the slab kernel's per-step overhead
+    # grows with K (measured: dense wins outright at K=125/343 on room
+    # grids, loses the k=3 tie), so the tie-break leans dense as K grows.
+    bias = max(0.75, 1.15 - 0.13 * math.log(max(kernel_volume / 27.0, 1.0)))
+    dense_train = bias * dense_us * (1.2 + dw_ratio)
     sparse_train = 1.6 * sparse_us
     if not map_cached:
         sparse_train += (
@@ -379,6 +399,58 @@ def _use_patches_dw(ks, cin, cout, cells) -> bool:
     )
 
 
+def _dw_shifted(dense, g, ks, dilation, padding):
+    """Dense filter gradient as K per-offset shifted-slice GEMMs.
+
+    The patches-GEMM (_dw_patches) materializes a (cells, cin·K) patch
+    matrix; measured 4.4 ms at k=5 3→32 / 110k cells, dominated by the
+    stack's layout copy rather than the contraction.  Slicing the padded
+    grid once per offset and contracting (cells, cin)ᵀ @ (cells, cout)
+    has the same FLOPs with no intermediate: traffic is K·cells·cin
+    reads and each slice feeds its GEMM directly.
+
+    Returns dW in standard (*ks, cin, cout) layout, f32.
+    """
+    import itertools
+
+    D = len(ks)
+    cin = dense.shape[-1]
+    cout = g.shape[-1]
+    pads = [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)]
+    xp = jnp.pad(dense, pads)
+    g2d = g.reshape(-1, cout)
+    out_spatial = g.shape[1 : 1 + D]
+    dws = []
+    for off in itertools.product(*[range(k) for k in ks]):
+        v = xp
+        for d, o in enumerate(off):
+            v = jax.lax.slice_in_dim(
+                v,
+                o * dilation[d],
+                o * dilation[d] + out_spatial[d],
+                axis=1 + d,
+            )
+        dws.append(
+            jax.lax.dot_general(
+                v.reshape(-1, cin),
+                g2d,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.stack(dws, 0).reshape(tuple(ks) + (cin, cout))
+
+
+def _use_shifted_dw(ks, cin, cout, cells) -> bool:
+    """Shifted-slice dW beats XLA's filter-grad whenever its K·cells·cin
+    read traffic stays bounded (filter-grad degrades with kernel volume:
+    23.8 ms for the 5³ 3→32 stem at 459k cells, 5.8 ms at 110k, vs
+    ~0.9 ms of fundamental traffic); at wide channels × large K the slice
+    reads explode and XLA's blocked kernel wins."""
+    del cout
+    return math.prod(ks) * cells * cin * 4 <= 2 * 1024 * 1024 * 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _dense_conv_core(dense, w, ks, dilation, padding):
     return _raw_dense_conv(dense, w, ks, dilation, padding)
@@ -395,7 +467,11 @@ def _dense_conv_core_bwd(ks, dilation, padding, res, g):
         lambda d: _raw_dense_conv(d, w, ks, dilation, padding), dense
     )
     (dx,) = vjp_x(g)
-    if _use_patches_dw(
+    if _use_shifted_dw(
+        ks, dense.shape[-1], g.shape[-1], math.prod(dense.shape[:-1])
+    ):
+        dw = _dw_shifted(dense, g, ks, dilation, padding).astype(w.dtype)
+    elif _use_patches_dw(
         ks, dense.shape[-1], g.shape[-1], math.prod(dense.shape[:-1])
     ):
         dw = _dw_patches(dense, g, ks, dilation, padding).astype(w.dtype)
