@@ -17,10 +17,57 @@ geometry training) are written to BENCH_DETAILS.json and stderr.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+# Soft deadline: the driver kills the bench at an unknown budget (r3 AND r4
+# both ended rc=124); sections past the deadline are SKIPPED so the run
+# exits 0 with everything measured so far flushed.  Opt into the long tail
+# (cold-e2e, kmap-build, 104k capacity probe) with ME_BENCH_FULL=1.
+_DEADLINE_S = float(os.environ.get("ME_BENCH_DEADLINE_S", "1260"))
+_FULL = os.environ.get("ME_BENCH_FULL", "") == "1"
+
+
+def elapsed():
+    return time.time() - _T0
+
+
+class SkipSection(Exception):
+    """Raised inside a section body when the soft deadline has passed."""
+
+
+def past_deadline(section_name):
+    if elapsed() > _DEADLINE_S and not _FULL:
+        print(
+            f"SKIP section {section_name}: {elapsed():.0f}s past the "
+            f"{_DEADLINE_S:.0f}s deadline",
+            file=sys.stderr, flush=True,
+        )
+        return True
+    return False
+
+
+def deadline_gate(section_name):
+    """Call at the top of a section body: raises SkipSection (caught and
+    logged by the ``section`` context manager) once the deadline passed."""
+    if past_deadline(section_name):
+        raise SkipSection(section_name)
+
+
+def _git_head():
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
 
 def log(*a):
@@ -101,6 +148,16 @@ def main():
     except Exception:
         pass
 
+    # Provenance: every row (re)measured by THIS run is stamped with the
+    # code commit and timestamp, so merged artifacts can never again mix
+    # regression-era rows with healthy ones untraceably (round-4 verdict).
+    head = _git_head()
+    prov = results.setdefault("_provenance", {})
+
+    def put(key, value):
+        results[key] = value
+        prov[key] = {"commit": head, "t": int(time.time())}
+
     def flush():
         """Persist partial results NOW — the TPU tunnel can die mid-run
         (observed: its compile server vanished after the headline), and a
@@ -114,6 +171,8 @@ def main():
     def section(name):
         try:
             yield
+        except SkipSection:
+            pass  # deadline skip, already logged
         except Exception as e:
             log(f"section {name} FAILED: {e!r}")
         finally:
@@ -129,7 +188,7 @@ def main():
     z = jnp.zeros((8,))
     tiny(z).block_until_ready()
     t_sync, _ = timeit(lambda: tiny(z).block_until_ready(), warmup=2, iters=5)
-    results["tunnel_sync_latency_s"] = t_sync
+    put("tunnel_sync_latency_s", t_sync)
     log(f"tunnel dispatch+sync latency: {t_sync*1e3:.1f} ms")
 
     # ---- headline: single conv 3->32 k=3 fwd, warm geometry -------------
@@ -168,7 +227,7 @@ def main():
 
     t_min, t_mean = timeit(run_fwd)
     t_min, t_mean = t_min / (CHAINS * REPS), t_mean / (CHAINS * REPS)
-    results["single_conv_fwd_k3_sparse_kernel_s"] = t_min
+    put("single_conv_fwd_k3_sparse_kernel_s", t_min)
     log(f"single conv fwd (sparse slab kernel): min {t_min*1e3:.3f} ms")
 
     # the framework's actual layer dispatch picks the dense-grid path for
@@ -196,10 +255,10 @@ def main():
 
         td_min, _ = timeit(run_fwd_dense)
         td_min = td_min / (CHAINS * REPS)
-        results["single_conv_fwd_k3_dense_dispatch_s"] = td_min
+        put("single_conv_fwd_k3_dense_dispatch_s", td_min)
         log(f"single conv fwd (dense dispatch): min {td_min*1e3:.3f} ms")
         t_min = min(t_min, td_min)
-    results["single_conv_fwd_k3_warm_s"] = t_min
+    put("single_conv_fwd_k3_warm_s", t_min)
     log(f"single conv fwd (best dispatch): min {t_min*1e3:.3f} ms")
 
     # ---- conv fwd+bwd ----------------------------------------------------
@@ -210,10 +269,10 @@ def main():
 
     tb_min, _ = timeit(run_bwd)
     tb_min = tb_min / (CHAINS * REPS)
-    results["single_conv_fwd_bwd_k3_warm_s"] = tb_min
+    put("single_conv_fwd_bwd_k3_warm_s", tb_min)
     log(f"single conv fwd+bwd (warm maps): min {tb_min*1e3:.3f} ms")
 
-    results["single_conv_fwd_k3_uniform_s"] = t_min
+    put("single_conv_fwd_k3_uniform_s", t_min)
 
     # ---- HEADLINE: room-shaped surface cloud at the baseline's size ------
     # The Titan X 0.093 s baseline was measured on real ScanNet rooms —
@@ -241,13 +300,14 @@ def main():
         )
     )
     th_min = th_min / (CHAINS * REPS)
-    results["single_conv_fwd_k3_surface26k_sparse_s"] = th_min
+    put("single_conv_fwd_k3_surface26k_sparse_s", th_min)
     if kmap_h.fwd_slab is not None:
-        results["surface26k_slab_S"] = kmap_h.fwd_slab.slab_size
-        results["surface26k_outlier_pairs"] = (
+        put("surface26k_slab_S", kmap_h.fwd_slab.slab_size)
+        put(
+            "surface26k_outlier_pairs",
             int(kmap_h.fwd_slab.ov_count)
             if kmap_h.fwd_slab.ov_count is not None
-            else 0
+            else 0,
         )
     log(
         f"single conv fwd (surface 26k, sparse slab kernel): "
@@ -276,11 +336,11 @@ def main():
             )
         )
         thd_min = thd_min / (CHAINS * REPS)
-        results["single_conv_fwd_k3_surface26k_dense_s"] = thd_min
+        put("single_conv_fwd_k3_surface26k_dense_s", thd_min)
         log(f"single conv fwd (surface 26k, dense dispatch): min {thd_min*1e3:.3f} ms")
         th_min = min(th_min, thd_min)
-    results["single_conv_fwd_k3_surface26k_s"] = th_min
-    results["surface26k_voxels"] = len(h_coords)
+    put("single_conv_fwd_k3_surface26k_s", th_min)
+    put("surface26k_voxels", len(h_coords))
 
     # headline is ready — print the machine-readable line NOW so slower
     # auxiliary sections (model-scale compile) cannot starve it
@@ -297,6 +357,170 @@ def main():
         flush=True,
     )
     flush()  # headline metrics are on disk even if the tunnel dies now
+
+    # ---- full published-baseline suite (docs/benchmark.md, Titan X) ------
+    # Every row the reference publishes, measured on the SAME room-shaped
+    # geometry its numbers came from (ScanNet rooms @5cm, ~26k voxels):
+    # single conv fwd/bwd at k=3/5/7 and the 3-layer "simple UNet"
+    # (conv k→32, conv k=2 s=2, convT k=2 s=2) fwd/bwd at k=3/5.
+    # Reference "backward" rows time the backward pass alone (maps reused),
+    # so bwd here = t(fwd+bwd) − t(fwd) on warm maps.
+    with section("ref-suite"):
+        deadline_gate("ref-suite")
+        REF = {  # docs/benchmark.md:35-43,81-87 (Titan X, v0.4.3)
+            ("conv_fwd", 3): 0.093, ("conv_fwd", 5): 0.121,
+            ("conv_fwd", 7): 0.165,
+            ("conv_bwd", 3): 0.0056, ("conv_bwd", 5): 0.0149,
+            ("conv_bwd", 7): 0.0312,
+            ("unet_fwd", 3): 0.1238, ("unet_fwd", 5): 0.1440,
+            ("unet_bwd", 3): 0.0074, ("unet_bwd", 5): 0.0170,
+        }
+        mgr_ref = xh.coordinate_manager
+        key_ref = xh.coordinate_map_key
+
+        def chain_times(modules, reps=REPS, chains=CHAINS):
+            """(t_fwd, t_bwd) per application of the module stack on the
+            headline cloud, amortized over an in-graph chain.  The backward
+            differentiates wrt every module's parameters but NOT the input
+            features — matching the reference benchmark's methodology: its
+            input features come straight from the loader with
+            ``requires_grad=False``, so ``logits.F.sum().backward()``
+            (reference tests/python/network_speed.py:110) computes dW only
+            for a single conv (plus inter-layer dX inside the UNet)."""
+            splits = [nnx.split(m) for m in modules]
+            graphdefs = [gd for gd, _ in splits]
+            states = [st for _, st in splits]
+
+            def apply_once(f, scale, sts):
+                xt = ME.SparseTensor(
+                    f * scale, coordinate_map_key=key_ref,
+                    coordinate_manager=mgr_ref,
+                )
+                for gd, st in zip(graphdefs, sts):
+                    xt = nnx.merge(gd, st)(xt)
+                return xt.padded_features[0, 0]
+
+            @jax.jit
+            def fwd_many(f, sts):
+                acc = 0.0
+                for i in range(reps):
+                    acc = acc + apply_once(f, scales[i], sts)
+                return acc
+
+            @jax.jit
+            def bwd_many(f, sts):
+                return jax.grad(fwd_many, argnums=1)(f, sts)
+
+            t_f, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [fwd_many(fpad_h, states) for _ in range(chains)]
+                ),
+                warmup=2, iters=5,
+            )
+            t_fb, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [bwd_many(fpad_h, states) for _ in range(chains)]
+                ),
+                warmup=2, iters=5,
+            )
+            return t_f / (chains * reps), t_fb / (chains * reps)
+
+        for ks in (3, 5, 7):
+            conv_k = ME.MinkowskiConvolution(
+                3, 32, kernel_size=ks, stride=1, dimension=3,
+                rngs=nnx.Rngs(ks),
+            )
+            _ = conv_k(xh)  # warm maps + compile
+            tf, tfb = chain_times([conv_k])
+            tb = max(tfb - tf, 0.0)
+            put(f"ref_conv_fwd_k{ks}_s", tf)
+            put(f"ref_conv_bwd_k{ks}_s", tb)
+            put(f"ref_conv_fwd_k{ks}_vs_baseline",
+                REF[("conv_fwd", ks)] / tf
+            )
+            if tb > 0:
+                put(f"ref_conv_bwd_k{ks}_vs_baseline",
+                    REF[("conv_bwd", ks)] / tb
+                )
+            log(
+                f"ref-suite conv k={ks}: fwd {tf*1e3:.3f} ms "
+                f"({REF[('conv_fwd', ks)]/tf:.0f}x baseline), "
+                f"bwd {tb*1e3:.3f} ms"
+            )
+            flush()
+
+        for ks in (3, 5):
+            unet_mods = [
+                ME.MinkowskiConvolution(
+                    3, 32, kernel_size=ks, stride=1, dimension=3,
+                    rngs=nnx.Rngs(10 + ks),
+                ),
+                ME.MinkowskiConvolution(
+                    32, 32, kernel_size=2, stride=2, dimension=3,
+                    rngs=nnx.Rngs(20 + ks),
+                ),
+                ME.MinkowskiConvolutionTranspose(
+                    32, 32, kernel_size=2, stride=2, dimension=3,
+                    rngs=nnx.Rngs(30 + ks),
+                ),
+            ]
+            xt = xh
+            for m in unet_mods:  # warm all three layers' maps
+                xt = m(xt)
+            tf, tfb = chain_times(unet_mods, reps=REPS // 2)
+            tb = max(tfb - tf, 0.0)
+            put(f"ref_unet_fwd_k{ks}_s", tf)
+            put(f"ref_unet_bwd_k{ks}_s", tb)
+            put(f"ref_unet_fwd_k{ks}_vs_baseline",
+                REF[("unet_fwd", ks)] / tf
+            )
+            if tb > 0:
+                put(f"ref_unet_bwd_k{ks}_vs_baseline",
+                    REF[("unet_bwd", ks)] / tb
+                )
+            log(
+                f"ref-suite simple-UNet k={ks}: fwd {tf*1e3:.3f} ms "
+                f"({REF[('unet_fwd', ks)]/tf:.0f}x baseline), "
+                f"bwd {tb*1e3:.3f} ms"
+            )
+            flush()
+
+    # ---- 128-channel conv + useful MFU ----------------------------------
+    # "useful" = the GEMM FLOPs a perfect sparse conv needs
+    # (2·pairs·Cin·Cout); the one-hot gather FLOPs the kernel spends on
+    # top are implementation tax.  BASELINE.json names this metric.
+    with section("conv128-mfu"):
+        deadline_gate("conv128-mfu")
+        k128 = jnp.asarray(
+            np.random.RandomState(2).randn(27, 128, 128).astype(np.float32)
+        ) * 0.05
+        for tag, xt, km_t in (("uniform", x, kmap), ("surface26k", xh, kmap_h)):
+            f128 = jnp.concatenate([xt.padded_features] * 43, axis=1)[:, :128]
+
+            @jax.jit
+            def conv128_chain(f, w, km_=km_t):
+                o = f
+                for _ in range(REPS):
+                    o = sparse_conv_kmap(o, w, km_)
+                return o
+
+            t128, _ = timeit(
+                lambda: jax.block_until_ready(
+                    [conv128_chain(f128, k128) for _ in range(CHAINS)]
+                ),
+                warmup=2, iters=5,
+            )
+            t128 = t128 / (CHAINS * REPS)
+            pairs = int(np.sum(np.asarray(km_t.in_idx) >= 0))
+            useful_tflops = 2 * pairs * 128 * 128 / t128 / 1e12
+            put(f"single_conv_fwd_k3_128ch_{tag}_s", t128)
+            put(f"conv128_useful_tflops_{tag}", useful_tflops)
+            put(f"conv128_useful_mfu_{tag}", useful_tflops / 197.0)
+            log(
+                f"conv 128ch k=3 ({tag}): {t128*1e3:.3f} ms — useful "
+                f"{useful_tflops:.1f} TFLOP/s "
+                f"({100*useful_tflops/197.0:.1f}% MFU)"
+            )
 
     # ---- MinkUNet34 fwd+bwd points/sec -----------------------------------
     try:
@@ -345,12 +569,13 @@ def main():
         tu_min, tu_mean = timeit(run_unet, warmup=2, iters=5)
         tu_min = tu_min / UREPS
         pps = len(coords) / tu_min
-        results["minkunet34_fwd_bwd_s"] = tu_min
-        results["minkunet34_points_per_sec"] = pps
+        put("minkunet34_fwd_bwd_s", tu_min)
+        put("minkunet34_points_per_sec", pps)
         flush()
         log(f"MinkUNet34 fwd+bwd: min {tu_min*1e3:.1f} ms → {pps:,.0f} points/s")
 
         # ---- MinkUNet34 on the HEADLINE (room-scan surface) geometry ----
+        deadline_gate("unet-surface")
         mgr_h = xh.coordinate_manager
         key_h = xh.coordinate_map_key
         _ = net(xh)  # warm the surface geometry through the whole model
@@ -384,8 +609,8 @@ def main():
         tu_h, _ = timeit(run_unet_h, warmup=2, iters=5)
         tu_h = tu_h / UREPS
         pps_h = len(h_coords) / tu_h
-        results["minkunet34_surface_fwd_bwd_s"] = tu_h
-        results["minkunet34_surface_points_per_sec"] = pps_h
+        put("minkunet34_surface_fwd_bwd_s", tu_h)
+        put("minkunet34_surface_points_per_sec", pps_h)
         flush()
         log(
             f"MinkUNet34 fwd+bwd (surface 26k): min {tu_h*1e3:.1f} ms → "
@@ -393,6 +618,7 @@ def main():
         )
 
         # mixed precision (bf16 activations, f32 master weights + BN stats)
+        deadline_gate("unet-bf16")
         ME.set_compute_dtype(jnp.bfloat16)
         try:
             # a fresh nnx.jit closure traces with the new compute dtype
@@ -419,8 +645,8 @@ def main():
 
             tb16, _ = timeit(run_unet_bf16, warmup=2, iters=5)
             tb16 = tb16 / UREPS
-            results["minkunet34_fwd_bwd_bf16_s"] = tb16
-            results["minkunet34_points_per_sec_bf16"] = len(coords) / tb16
+            put("minkunet34_fwd_bwd_bf16_s", tb16)
+            put("minkunet34_points_per_sec_bf16", len(coords) / tb16)
             log(
                 f"MinkUNet34 fwd+bwd bf16: min {tb16*1e3:.1f} ms → "
                 f"{len(coords)/tb16:,.0f} points/s"
@@ -500,9 +726,9 @@ def main():
             tf_min = float(np.min(batch_times))
             tf_mean = float(np.mean(batch_times))
             npts = len(clouds[0][0])
-            results[f"minkunet34_fresh{tag}_step_s"] = tf_min
-            results[f"minkunet34_fresh{tag}_step_mean_s"] = tf_mean
-            results[f"minkunet34_fresh{tag}_points_per_sec"] = npts / tf_mean
+            put(f"minkunet34_fresh{tag}_step_s", tf_min)
+            put(f"minkunet34_fresh{tag}_step_mean_s", tf_mean)
+            put(f"minkunet34_fresh{tag}_points_per_sec", npts / tf_mean)
             log(
                 f"MinkUNet34 fresh{tag} train step (e2e, new cloud every "
                 f"batch): min {tf_min*1e3:.1f} ms / mean {tf_mean*1e3:.1f} "
@@ -524,9 +750,9 @@ def main():
                 run_pipelined()
                 pipe_times.append((time.perf_counter() - t0) / len(padded))
             tp_min = float(np.min(pipe_times))
-            results[f"minkunet34_fresh{tag}_pipelined_s"] = tp_min
+            put(f"minkunet34_fresh{tag}_pipelined_s", tp_min)
             flush()
-            results[f"minkunet34_fresh{tag}_pipelined_points_per_sec"] = (
+            put(f"minkunet34_fresh{tag}_pipelined_points_per_sec",
                 npts / tp_min
             )
             log(
@@ -536,185 +762,28 @@ def main():
             )
 
         # ``replayer`` was snapshotted before the fixed-geometry warm-up.
+        deadline_gate("fresh-geometry")
         bench_fresh(
             "_geometry", replayer, mgr,
             [make_cloud(seed=s) for s in range(1, 7)],
         )
+        deadline_gate("fresh-surface")
         bench_fresh(
             "_surface", replayer_h, mgr_h,
             [surface_cloud("26k", seed=s) for s in range(1, 6)],
         )
 
+    except SkipSection:
+        pass
     except Exception as e:  # keep the headline metric alive regardless
         log(f"MinkUNet34 bench failed: {e!r}")
-
-    # ---- full published-baseline suite (docs/benchmark.md, Titan X) ------
-    # Every row the reference publishes, measured on the SAME room-shaped
-    # geometry its numbers came from (ScanNet rooms @5cm, ~26k voxels):
-    # single conv fwd/bwd at k=3/5/7 and the 3-layer "simple UNet"
-    # (conv k→32, conv k=2 s=2, convT k=2 s=2) fwd/bwd at k=3/5.
-    # Reference "backward" rows time the backward pass alone (maps reused),
-    # so bwd here = t(fwd+bwd) − t(fwd) on warm maps.
-    with section("ref-suite"):
-        REF = {  # docs/benchmark.md:35-43,81-87 (Titan X, v0.4.3)
-            ("conv_fwd", 3): 0.093, ("conv_fwd", 5): 0.121,
-            ("conv_fwd", 7): 0.165,
-            ("conv_bwd", 3): 0.0056, ("conv_bwd", 5): 0.0149,
-            ("conv_bwd", 7): 0.0312,
-            ("unet_fwd", 3): 0.1238, ("unet_fwd", 5): 0.1440,
-            ("unet_bwd", 3): 0.0074, ("unet_bwd", 5): 0.0170,
-        }
-        mgr_ref = xh.coordinate_manager
-        key_ref = xh.coordinate_map_key
-
-        def chain_times(modules, reps=REPS, chains=CHAINS):
-            """(t_fwd, t_bwd) per application of the module stack on the
-            headline cloud, amortized over an in-graph chain.  The backward
-            differentiates wrt every module's parameters but NOT the input
-            features — matching the reference benchmark's methodology: its
-            input features come straight from the loader with
-            ``requires_grad=False``, so ``logits.F.sum().backward()``
-            (reference tests/python/network_speed.py:110) computes dW only
-            for a single conv (plus inter-layer dX inside the UNet)."""
-            splits = [nnx.split(m) for m in modules]
-            graphdefs = [gd for gd, _ in splits]
-            states = [st for _, st in splits]
-
-            def apply_once(f, scale, sts):
-                xt = ME.SparseTensor(
-                    f * scale, coordinate_map_key=key_ref,
-                    coordinate_manager=mgr_ref,
-                )
-                for gd, st in zip(graphdefs, sts):
-                    xt = nnx.merge(gd, st)(xt)
-                return xt.padded_features[0, 0]
-
-            @jax.jit
-            def fwd_many(f, sts):
-                acc = 0.0
-                for i in range(reps):
-                    acc = acc + apply_once(f, scales[i], sts)
-                return acc
-
-            @jax.jit
-            def bwd_many(f, sts):
-                return jax.grad(fwd_many, argnums=1)(f, sts)
-
-            t_f, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [fwd_many(fpad_h, states) for _ in range(chains)]
-                ),
-                warmup=2, iters=5,
-            )
-            t_fb, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [bwd_many(fpad_h, states) for _ in range(chains)]
-                ),
-                warmup=2, iters=5,
-            )
-            return t_f / (chains * reps), t_fb / (chains * reps)
-
-        for ks in (3, 5, 7):
-            conv_k = ME.MinkowskiConvolution(
-                3, 32, kernel_size=ks, stride=1, dimension=3,
-                rngs=nnx.Rngs(ks),
-            )
-            _ = conv_k(xh)  # warm maps + compile
-            tf, tfb = chain_times([conv_k])
-            tb = max(tfb - tf, 0.0)
-            results[f"ref_conv_fwd_k{ks}_s"] = tf
-            results[f"ref_conv_bwd_k{ks}_s"] = tb
-            results[f"ref_conv_fwd_k{ks}_vs_baseline"] = (
-                REF[("conv_fwd", ks)] / tf
-            )
-            if tb > 0:
-                results[f"ref_conv_bwd_k{ks}_vs_baseline"] = (
-                    REF[("conv_bwd", ks)] / tb
-                )
-            log(
-                f"ref-suite conv k={ks}: fwd {tf*1e3:.3f} ms "
-                f"({REF[('conv_fwd', ks)]/tf:.0f}x baseline), "
-                f"bwd {tb*1e3:.3f} ms"
-            )
-            flush()
-
-        for ks in (3, 5):
-            unet_mods = [
-                ME.MinkowskiConvolution(
-                    3, 32, kernel_size=ks, stride=1, dimension=3,
-                    rngs=nnx.Rngs(10 + ks),
-                ),
-                ME.MinkowskiConvolution(
-                    32, 32, kernel_size=2, stride=2, dimension=3,
-                    rngs=nnx.Rngs(20 + ks),
-                ),
-                ME.MinkowskiConvolutionTranspose(
-                    32, 32, kernel_size=2, stride=2, dimension=3,
-                    rngs=nnx.Rngs(30 + ks),
-                ),
-            ]
-            xt = xh
-            for m in unet_mods:  # warm all three layers' maps
-                xt = m(xt)
-            tf, tfb = chain_times(unet_mods, reps=REPS // 2)
-            tb = max(tfb - tf, 0.0)
-            results[f"ref_unet_fwd_k{ks}_s"] = tf
-            results[f"ref_unet_bwd_k{ks}_s"] = tb
-            results[f"ref_unet_fwd_k{ks}_vs_baseline"] = (
-                REF[("unet_fwd", ks)] / tf
-            )
-            if tb > 0:
-                results[f"ref_unet_bwd_k{ks}_vs_baseline"] = (
-                    REF[("unet_bwd", ks)] / tb
-                )
-            log(
-                f"ref-suite simple-UNet k={ks}: fwd {tf*1e3:.3f} ms "
-                f"({REF[('unet_fwd', ks)]/tf:.0f}x baseline), "
-                f"bwd {tb*1e3:.3f} ms"
-            )
-            flush()
-
-    # ---- 128-channel conv + useful MFU ----------------------------------
-    # "useful" = the GEMM FLOPs a perfect sparse conv needs
-    # (2·pairs·Cin·Cout); the one-hot gather FLOPs the kernel spends on
-    # top are implementation tax.  BASELINE.json names this metric.
-    with section("conv128-mfu"):
-        k128 = jnp.asarray(
-            np.random.RandomState(2).randn(27, 128, 128).astype(np.float32)
-        ) * 0.05
-        for tag, xt, km_t in (("uniform", x, kmap), ("surface26k", xh, kmap_h)):
-            f128 = jnp.concatenate([xt.padded_features] * 43, axis=1)[:, :128]
-
-            @jax.jit
-            def conv128_chain(f, w, km_=km_t):
-                o = f
-                for _ in range(REPS):
-                    o = sparse_conv_kmap(o, w, km_)
-                return o
-
-            t128, _ = timeit(
-                lambda: jax.block_until_ready(
-                    [conv128_chain(f128, k128) for _ in range(CHAINS)]
-                ),
-                warmup=2, iters=5,
-            )
-            t128 = t128 / (CHAINS * REPS)
-            pairs = int(np.sum(np.asarray(km_t.in_idx) >= 0))
-            useful_tflops = 2 * pairs * 128 * 128 / t128 / 1e12
-            results[f"single_conv_fwd_k3_128ch_{tag}_s"] = t128
-            results[f"conv128_useful_tflops_{tag}"] = useful_tflops
-            results[f"conv128_useful_mfu_{tag}"] = useful_tflops / 197.0
-            log(
-                f"conv 128ch k=3 ({tag}): {t128*1e3:.3f} ms — useful "
-                f"{useful_tflops:.1f} TFLOP/s "
-                f"({100*useful_tflops/197.0:.1f}% MFU)"
-            )
 
     # ---- larger surface cloud (50k): slab-span stress -------------------
     # Real scans are 2-D surfaces in 3-D; per-tile index spans differ wildly
     # from uniform-random clouds.  This validates the outlier-tolerant slab
     # ladder at ~2× the headline size.
     with section("surface-50k"):
+        deadline_gate("surface-50k")
         s_coords, s_feats = surface_cloud("50k")
         log(f"surface cloud: {len(s_coords)} voxels (room scan @ 5cm)")
         xs = ME.SparseTensor(s_feats, s_coords)
@@ -738,8 +807,8 @@ def main():
             )
         )
         ts_min = ts_min / (CHAINS * REPS)
-        results["single_conv_fwd_k3_surface_s"] = ts_min
-        results["surface_cloud_voxels"] = len(s_coords)
+        put("single_conv_fwd_k3_surface_s", ts_min)
+        put("surface_cloud_voxels", len(s_coords))
         log(f"single conv fwd (surface cloud, {len(s_coords)} vox): min {ts_min*1e3:.3f} ms")
 
         # measure the dense-grid path too when the dispatch would consider
@@ -767,16 +836,18 @@ def main():
                 )
             )
             tsd_min = tsd_min / (CHAINS * REPS)
-            results["single_conv_fwd_k3_surface_dense_s"] = tsd_min
+            put("single_conv_fwd_k3_surface_dense_s", tsd_min)
             log(
                 f"single conv fwd (surface cloud, dense dispatch): "
                 f"min {tsd_min*1e3:.3f} ms"
             )
-            results["single_conv_fwd_k3_surface_best_s"] = min(ts_min, tsd_min)
+            put("single_conv_fwd_k3_surface_best_s", min(ts_min, tsd_min))
 
     # ---- e2e including coordinate-map + kernel-map build (cold) ---------
     sync_floor = 3 * results.get("tunnel_sync_latency_s", 0.0)
     with section("cold-e2e"):
+        deadline_gate("cold-e2e")
+
         def run_cold():
             mgr = ME.CoordinateManager(D=3)
             xt = ME.SparseTensor(feats, coords, coordinate_manager=mgr)
@@ -784,9 +855,10 @@ def main():
             yt.padded_features.block_until_ready()
 
         tc_min, _ = timeit(run_cold, warmup=2, iters=5)
-        results["single_conv_fwd_k3_cold_e2e_s"] = tc_min
-        results["single_conv_fwd_k3_cold_e2e_net_s"] = max(
-            tc_min - sync_floor, 0.0
+        put("single_conv_fwd_k3_cold_e2e_s", tc_min)
+        put(
+            "single_conv_fwd_k3_cold_e2e_net_s",
+            max(tc_min - sync_floor, 0.0),
         )
         log(
             f"single conv fwd (cold maps, e2e): min {tc_min*1e3:.3f} ms "
@@ -796,6 +868,8 @@ def main():
 
     # ---- kernel map build alone -----------------------------------------
     with section("kmap-build"):
+        deadline_gate("kmap-build")
+
         def run_kmap():
             mgr = ME.CoordinateManager(D=3)
             key, _ = mgr.insert_and_map(coords)
@@ -804,8 +878,8 @@ def main():
             km.in_idx.block_until_ready()
 
         tk_min, _ = timeit(run_kmap, warmup=2, iters=5)
-        results["kernel_map_build_k3_s"] = tk_min
-        results["kernel_map_build_k3_net_s"] = max(tk_min - sync_floor, 0.0)
+        put("kernel_map_build_k3_s", tk_min)
+        put("kernel_map_build_k3_net_s", max(tk_min - sync_floor, 0.0))
         log(
             f"coordinate init + kernel map build: min {tk_min*1e3:.3f} ms "
             f"(net of 3x tunnel sync: "
@@ -817,6 +891,7 @@ def main():
     # halves activation memory; quantify the claim with measured peak
     # HBM instead of asserting it.
     try:
+        deadline_gate("bf16-capacity")
         big_coords, big_feats = make_cloud(
             n_target=104_000, grid=(160, 160, 80), batch=4, seed=41
         )
@@ -845,13 +920,15 @@ def main():
                 jax.block_until_ready(jax.tree.leaves(out))
                 stats = jax.devices()[0].memory_stats() or {}
                 peak = stats.get("peak_bytes_in_use", 0)
-                results[f"minkunet34_104k_peak_hbm_{tag}_gb"] = (
+                put(f"minkunet34_104k_peak_hbm_{tag}_gb",
                     peak / 2**30
                 )
                 log(f"104k-voxel batch=4 step peak HBM ({tag}): "
                     f"{peak/2**30:.2f} GiB")
             finally:
                 ME.set_compute_dtype(None)
+    except SkipSection:
+        pass
     except Exception as e:
         log(f"bf16 capacity bench failed: {e!r}")
 

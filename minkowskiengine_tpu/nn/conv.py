@@ -210,6 +210,8 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
                 else None
             ),
         )
+        from ..ops.pallas.conv_kernel import SUB_TILE
+
         fs = cached_km.fwd_slab if cached_km is not None else None
         return dense_conv_beneficial(
             plan,
@@ -224,7 +226,8 @@ class MinkowskiConvolutionBase(MinkowskiModuleBase):
                 (fs.sub_size or fs.slab_size) if fs is not None else None
             ),
             cached_sub_tiles=(
-                (fs.tile // 64 if fs.sub_size else 1) if fs is not None else 1
+                (fs.tile // SUB_TILE if fs.sub_size else 1)
+                if fs is not None else 1
             ),
             cached_ov_cap=(
                 int(fs.ov_cap or 0) if fs is not None else 0

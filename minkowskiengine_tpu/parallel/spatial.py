@@ -3,8 +3,8 @@
 Data parallelism (data_parallel.py) scales the BATCH axis; this module
 scales the only remaining axis — a single cloud too large for one chip's
 HBM (SURVEY §2.3 names it as the beyond-HBM scale-out with no reference
-precedent: the reference's multi-GPU story, MinkowskiEngine/MinkowskiDistributedUtils.py,
-is batch-replication only).
+precedent: the reference's multi-GPU story, examples/multigpu.py and
+examples/multigpu_ddp.py, is batch-replication only).
 
 Design (TPU-native, no reference analogue):
 

@@ -52,7 +52,7 @@ class TestConvForward:
             dimension=2,
         )
         y = conv(x)
-        W = np.asarray(conv.kernel.value)
+        W = np.asarray(conv.kernel[...])
         offsets = cube_offsets(kernel_size, dilation, 1, 2)
         expected = conv_oracle(x.C, np.asarray(x.F), np.asarray(y.C), W, offsets)
         np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
@@ -70,7 +70,7 @@ class TestConvForward:
         x = ME.SparseTensor(feats, coords)
         conv = ME.MinkowskiConvolution(4, 6, kernel_size=3, dimension=3)
         y = conv(x)
-        W = np.asarray(conv.kernel.value)
+        W = np.asarray(conv.kernel[...])
         offsets = cube_offsets(3, 1, 1, 3)
         expected = conv_oracle(x.C, np.asarray(x.F), np.asarray(y.C), W, offsets)
         np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
@@ -86,7 +86,7 @@ class TestConvForward:
             3, 5, kernel_size=3, kernel_generator=kg, dimension=2
         )
         y = conv(x)
-        W = np.asarray(conv.kernel.value)
+        W = np.asarray(conv.kernel[...])
         offsets = hyper_cross_offsets((3, 3), (1, 1), (1, 1))
         expected = conv_oracle(x.C, np.asarray(x.F), np.asarray(y.C), W, offsets)
         np.testing.assert_allclose(np.asarray(y.F), expected, rtol=1e-4, atol=1e-4)
@@ -99,7 +99,7 @@ class TestConvForward:
         assert conv.use_mm
         np.testing.assert_allclose(
             np.asarray(y.F),
-            np.asarray(x.F) @ np.asarray(conv.kernel.value),
+            np.asarray(x.F) @ np.asarray(conv.kernel[...]),
             rtol=1e-5,
             atol=1e-5,
         )
@@ -111,8 +111,8 @@ class TestConvForward:
         c1 = ME.MinkowskiConvolution(3, 4, kernel_size=3, dimension=2, bias=True)
         c2 = ME.MinkowskiConvolution(4, 2, kernel_size=3, dimension=2)
         y = c2(c1(x))
-        W1, b1 = np.asarray(c1.kernel.value), np.asarray(c1.bias.value)
-        W2 = np.asarray(c2.kernel.value)
+        W1, b1 = np.asarray(c1.kernel[...]), np.asarray(c1.bias[...])
+        W2 = np.asarray(c2.kernel[...])
         offsets = cube_offsets(3, 1, 1, 2)
         mid = conv_oracle(x.C, np.asarray(x.F), np.asarray(x.C), W1, offsets) + b1
         expected = conv_oracle(x.C, mid, np.asarray(y.C), W2, offsets)
@@ -137,7 +137,7 @@ class TestConvTranspose:
         up = ME.MinkowskiConvolutionTranspose(4, 3, kernel_size=2, stride=2, dimension=2)
         y = down(x)
         z = up(y)
-        W = np.asarray(up.kernel.value)
+        W = np.asarray(up.kernel[...])
         offsets = cube_offsets(2, 1, 1, 2)  # out tensor stride = 1
         expected = conv_transpose_oracle(
             np.asarray(y.C), np.asarray(y.F), np.asarray(z.C), W, offsets
@@ -169,7 +169,7 @@ class TestChannelwise:
         x = ME.SparseTensor(feats, coords)
         conv = ME.MinkowskiChannelwiseConvolution(5, kernel_size=3, dimension=2)
         y = conv(x)
-        W = np.asarray(conv.kernel.value)  # (K, ch)
+        W = np.asarray(conv.kernel[...])  # (K, ch)
         offsets = cube_offsets(3, 1, 1, 2)
         table = {tuple(c): i for i, c in enumerate(np.asarray(x.C))}
         expected = np.zeros((y.size, 5))
