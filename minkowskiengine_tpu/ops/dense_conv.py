@@ -251,18 +251,20 @@ def dense_conv_beneficial(
     else:
         sparse_us = steps * _SPARSE_US_PER_STEP
     # Training weights (profile-anchored, r2): sparse bwd ≈ 0.6× fwd.
-    # Dense dx ≈ 0.2× fwd; the dense WEIGHT grad via XLA's filter-grad
-    # degrades sharply with kernel volume at sparse-channel widths
-    # (23.8 ms for the 5³×3→32 stem on a 459k-cell grid) — but when the
-    # patches-GEMM dW applies (tiny channels, _use_patches_dw) it has the
-    # forward's FLOP count and measures ≈3.2× fwd at k=5 regardless of K.
+    # Dense dx ≈ 0.2× fwd; the dense WEIGHT grad routing mirrors
+    # _dense_conv_core_bwd (r5 calibration): XLA's filter-grad is
+    # k-independent ~0.82 ms at ≤200k cells (≈0.6× the k=5 fwd), the
+    # shifted-slice/patches GEMMs have ~the forward's FLOP count, and only
+    # when none applies does the uncapped kernel-volume penalty stand.
     dw_ratio = 0.5 * (kernel_volume / 27.0) ** 1.2
-    if (  # _use_patches_dw's gate, dimension-agnostic via kernel_volume
-        kernel_volume >= 27
-        and min(cin, cout) <= 8
-        and cells * cin * kernel_volume * 4 <= 512 * 1024 * 1024
+    kv = (kernel_volume,)  # predicates only use math.prod(ks)
+    if _use_shifted_dw(kv, cin, cout, cells) or _use_patches_dw(
+        kv, cin, cout, cells
     ):
-        dw_ratio = min(dw_ratio, 3.2)
+        # measured dW_shifted/fwd ratios: 1.4 (k=5) and 1.3 (k=7) on the
+        # 110k-cell surface grid (prof_densebwd5); keep margin for larger
+        # grids where the slice traffic grows faster than the conv
+        dw_ratio = min(dw_ratio, 2.0)
     # In-situ bias: XLA dense convs overlap with neighboring ops while the
     # serial slab kernels don't — but the slab kernel's per-step overhead
     # grows with K (measured: dense wins outright at K=125/343 on room
@@ -441,14 +443,88 @@ def _dw_shifted(dense, g, ks, dilation, padding):
     return jnp.stack(dws, 0).reshape(tuple(ks) + (cin, cout))
 
 
-def _use_shifted_dw(ks, cin, cout, cells) -> bool:
+# Calibration (v5e, surface-26k 110k-cell grid, 3→32, r5 prof_densebwd5 —
+# outputs consumed by .sum(); earlier [0,0..]-pick probes let XLA slice
+# the dots and reported fictions): XLA's conv-backprop-filter is the
+# WORST dW at sparse channel widths — 6.0 ms (k=5) / 12.2 ms (k=7) vs
+# shifted-slice 1.5 / 3.7 — so it is the fallback, never the preference.
+def _use_xla_filtergrad_dw(ks, cin, cout, cells) -> bool:
+    del ks, cin, cout, cells
+    return False
+
+
+def _use_shifted_dw(ks, cin, cout, cells, itemsize=4) -> bool:
     """Shifted-slice dW beats XLA's filter-grad whenever its K·cells·cin
-    read traffic stays bounded (filter-grad degrades with kernel volume:
-    23.8 ms for the 5³ 3→32 stem at 459k cells, 5.8 ms at 110k, vs
-    ~0.9 ms of fundamental traffic); at wide channels × large K the slice
-    reads explode and XLA's blocked kernel wins."""
+    read traffic stays bounded (filter-grad degrades with grid size:
+    23.8 ms for the 5³ 3→32 stem at 459k cells vs 0.82 ms at 110k); at
+    wide channels × large K the slice reads explode and XLA's blocked
+    kernel wins."""
     del cout
-    return math.prod(ks) * cells * cin * 4 <= 2 * 1024 * 1024 * 1024
+    return math.prod(ks) * cells * cin * itemsize <= 2 * 1024 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# row <-> grid transfer edges with scatter-add-free custom VJPs
+#
+# The map row <-> grid cell correspondence is injective both ways (flat_idx
+# never repeats a cell), so BOTH directions of BOTH transfers are a pure
+# gather or an injective scatter-set.  Left to autodiff, the final
+# `jnp.take(mode="fill")` emits a masked scatter-ADD in its VJP — the
+# shape-erratic TPU scatter emitter (CLAUDE.md): measured 5-14 ms inside
+# the k=5/7 dense backward where every real component (dx conv 0.47 ms,
+# filter-grad 0.82 ms, injective set 0.53 ms) is sub-millisecond.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rows_to_grid(feats, flat_idx, cells):
+    """(C, ch) padded rows -> (cells, ch) flat grid (zeros on empty cells)."""
+    safe = jnp.where(flat_idx >= 0, flat_idx, cells)
+    return (
+        jnp.zeros((cells + 1, feats.shape[1]), feats.dtype)
+        .at[safe].set(feats, mode="drop")[:cells]
+    )
+
+
+def _rows_to_grid_fwd(feats, flat_idx, cells):
+    return _rows_to_grid(feats, flat_idx, cells), flat_idx
+
+
+def _rows_to_grid_bwd(cells, flat_idx, g):
+    # d_feats[r] = g[flat_idx[r]] — a gather (padding rows get zero)
+    safe = jnp.where(flat_idx >= 0, flat_idx, cells)
+    return (
+        jnp.take(g, safe, axis=0, mode="fill", fill_value=0),
+        None,
+    )
+
+
+_rows_to_grid.defvjp(_rows_to_grid_fwd, _rows_to_grid_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _grid_to_rows(grid, flat_idx, cells):
+    """(cells, ch) flat grid -> (C, ch) padded rows (zeros on padding)."""
+    safe = jnp.where(flat_idx >= 0, flat_idx, cells)
+    return jnp.take(grid, safe, axis=0, mode="fill", fill_value=0)
+
+
+def _grid_to_rows_fwd(grid, flat_idx, cells):
+    return _grid_to_rows(grid, flat_idx, cells), flat_idx
+
+
+def _grid_to_rows_bwd(cells, flat_idx, g):
+    # d_grid = injective scatter-set of the row cotangents (cells the map
+    # doesn't own stay zero; no adds, no masks beyond the drop)
+    safe = jnp.where(flat_idx >= 0, flat_idx, cells)
+    return (
+        jnp.zeros((cells + 1, g.shape[1]), g.dtype)
+        .at[safe].set(g, mode="drop")[:cells],
+        None,
+    )
+
+
+_grid_to_rows.defvjp(_grid_to_rows_fwd, _grid_to_rows_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -462,18 +538,25 @@ def _dense_conv_core_fwd(dense, w, ks, dilation, padding):
 
 def _dense_conv_core_bwd(ks, dilation, padding, res, g):
     dense, w = res
-    # d_input: XLA's conv-input-grad is efficient at every shape — reuse it
+    # d_input: XLA's conv-input-grad is efficient at every shape — reuse it.
+    # When the caller never uses dx (params-only training grads, the
+    # reference bench methodology), this whole chain is dead code in the
+    # surrounding jaxpr and XLA eliminates it.
     _, vjp_x = jax.vjp(
         lambda d: _raw_dense_conv(d, w, ks, dilation, padding), dense
     )
     (dx,) = vjp_x(g)
-    if _use_shifted_dw(
-        ks, dense.shape[-1], g.shape[-1], math.prod(dense.shape[:-1])
+    cells = math.prod(dense.shape[:-1])
+    if _use_xla_filtergrad_dw(ks, dense.shape[-1], g.shape[-1], cells):
+        _, vjp_w = jax.vjp(
+            lambda ww: _raw_dense_conv(dense, ww, ks, dilation, padding), w
+        )
+        (dw,) = vjp_w(g)
+    elif _use_shifted_dw(
+        ks, dense.shape[-1], g.shape[-1], cells, dense.dtype.itemsize
     ):
         dw = _dw_shifted(dense, g, ks, dilation, padding).astype(w.dtype)
-    elif _use_patches_dw(
-        ks, dense.shape[-1], g.shape[-1], math.prod(dense.shape[:-1])
-    ):
+    elif _use_patches_dw(ks, dense.shape[-1], g.shape[-1], cells):
         dw = _dw_patches(dense, g, ks, dilation, padding).astype(w.dtype)
     else:
         _, vjp_w = jax.vjp(
@@ -505,12 +588,8 @@ def dense_conv(
     cout = weights.shape[-1]
     cells = plan.cells
 
-    safe = jnp.where(plan.flat_idx >= 0, plan.flat_idx, cells)
-    dense = (
-        jnp.zeros((cells + 1, cin), feats.dtype)
-        .at[safe]
-        .set(feats, mode="drop")[:cells]
-        .reshape((B,) + spatial + (cin,))
+    dense = _rows_to_grid(feats, plan.flat_idx, cells).reshape(
+        (B,) + spatial + (cin,)
     )
 
     # weight layout: offset k = i_0 + k_0·i_1 + k_0·k_1·i_2 (dim 0 fastest,
@@ -534,4 +613,4 @@ def dense_conv(
     ).astype(feats.dtype)
 
     flat_out = out_dense.reshape(cells, cout)
-    return jnp.take(flat_out, safe, axis=0, mode="fill", fill_value=0)
+    return _grid_to_rows(flat_out, plan.flat_idx, cells)

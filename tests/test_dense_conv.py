@@ -94,12 +94,64 @@ class TestDenseConv:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)[: x.size]).max() > 0
 
+    @pytest.mark.parametrize("ks", [3, 5])
+    def test_grads_match_native_ad(self, ks):
+        """The scatter-add-free custom VJPs (row<->grid edges + dW routing)
+        must equal native autodiff through a plain scatter/conv/gather
+        implementation, for BOTH d_feats and dW."""
+        from minkowskiengine_tpu.ops.dense_conv import _raw_dense_conv
+
+        coords, feats = rand_tensor(60, 3, 2, seed=ks)
+        x = ME.SparseTensor(feats, coords)
+        plan = build_dense_plan(x.coordinate_map)
+        K = ks**3
+        W = jnp.asarray(
+            (np.random.RandomState(2).randn(K, 2, 3) * 0.3).astype(np.float32)
+        )
+        cells = plan.cells
+        B = plan.grid_shape[0]
+        sp = plan.grid_shape[1:]
+        safe = jnp.where(plan.flat_idx >= 0, plan.flat_idx, cells)
+        g_out = jnp.asarray(
+            np.random.RandomState(3).randn(x.capacity, 3).astype(np.float32)
+        )
+
+        def plain(f, w):
+            dns = (
+                jnp.zeros((cells + 1, 2), f.dtype)
+                .at[safe].set(f, mode="drop")[:cells]
+                .reshape((B,) + sp + (2,))
+            )
+            w5 = w.reshape(tuple(reversed((ks,) * 3)) + (2, 3))
+            w5 = jnp.transpose(w5, (2, 1, 0, 3, 4))
+            pad = tuple((ks // 2, ks // 2) for _ in range(3))
+            o = _raw_dense_conv(dns, w5, (ks,) * 3, (1, 1, 1), pad)
+            flat = o.reshape(cells, 3)
+            return jnp.sum(
+                jnp.take(flat, safe, axis=0, mode="fill", fill_value=0)
+                * g_out
+            )
+
+        def routed(f, w):
+            return jnp.sum(
+                dense_conv(f, w, plan, (ks,) * 3, (1, 1, 1)) * g_out
+            )
+
+        for argnum in (0, 1):
+            g_plain = jax.grad(plain, argnums=argnum)(x.padded_features, W)
+            g_routed = jax.grad(routed, argnums=argnum)(x.padded_features, W)
+            np.testing.assert_allclose(
+                np.asarray(g_routed), np.asarray(g_plain),
+                rtol=1e-4, atol=1e-4,
+            )
+
     def test_cost_model(self):
-        # since the shifted-grid builder made kernel maps ~0.6 ms to build,
-        # the sparse path wins even the big-kernel stem (dense pays a 3.2x
-        # weight-grad penalty at k=5 with sparse channels)
+        # r5 re-calibration (prof_densebwd5, sum-consumed outputs): the
+        # shifted-slice dW costs ~1.4x the dense forward, so the dense
+        # route wins the k=5 stem even on a 64^3 grid — sparse k=5 costs
+        # 6.4 ms fwd alone vs dense ~2.8 ms fwd+dW at 110k cells
         plan = DensePlan(jnp.zeros((32768,), jnp.int32), (1, 64, 64, 64))
-        assert not dense_conv_beneficial(plan, 32768, 125, 3, 32, map_cached=False)
+        assert dense_conv_beneficial(plan, 32768, 125, 3, 32, map_cached=False)
         assert not dense_conv_beneficial(plan, 32768, 27, 128, 128)
         # compact deeper-level grids DO win for k=3 mid channels (measured
         # in-situ: dense overlaps with neighbors, slab kernels serialize)
