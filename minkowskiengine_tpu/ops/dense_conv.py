@@ -234,6 +234,36 @@ def dense_conv_beneficial(
     cells = plan.cells
     if cells * (cin + cout) * 4 > _MAX_DENSE_BYTES:
         return False
+    # z-fold regime (tiny cin, 3-D, stride 1): calibrated on v5e
+    # (prof_zfold2, sum-consumed): folded GEMMs sustain ~130 TFLOP/s of
+    # their inflated FLOPs (2·cells·Z·kxy·cin·cout); the row<->grid edges
+    # cost ~3.3 ns/cell; dW-zfold ≈ 2.5× the fwd GEMMs + the g scatter.
+    Z = plan.grid_shape[-1]
+    kxy = round(kernel_volume ** (2.0 / 3.0))
+    if (
+        len(plan.grid_shape) == 4
+        and cin <= _ZFOLD_MAX_CIN
+        and kxy * (Z * cin) * (Z * cout) * 4 <= _ZFOLD_MAX_B2_BYTES
+    ):
+        flops = 2.0 * cells * Z * kxy * cin * cout
+        edges_us = 0.0033 * cells
+        fwd_us = 150.0 + flops / 1.3e8 + edges_us
+        dw_us = 250.0 + 2.5 * flops / 1.3e8 + 0.002 * cells
+        dense_train = 1.2 * fwd_us + dw_us
+        steps = max(n_points_capacity // tile, 1) * kernel_volume
+        if cached_slab_size:
+            sparse_us = steps * (
+                0.22 + 0.02 * max(cached_sub_tiles, 1)
+                + 0.0004 * cached_slab_size
+            ) + 0.02 * cached_ov_cap
+        else:
+            sparse_us = steps * _SPARSE_US_PER_STEP
+        sparse_train = 1.6 * sparse_us
+        if not map_cached:
+            sparse_train += (
+                _KMAP_BUILD_US_PER_PAIR * kernel_volume * n_points_capacity
+            )
+        return dense_train < sparse_train
     kscale = (kernel_volume / 27.0) ** 0.3  # k5/k3 measured ratio ~1.57
     # per-cell cost is sublinear in grid size (measured: 11.5 ns/cell on
     # the 459k-cell uniform grid vs ~6 ns/cell·kscale on the 110k room
@@ -527,6 +557,178 @@ def _grid_to_rows_bwd(cells, flat_idx, g):
 _grid_to_rows.defvjp(_grid_to_rows_fwd, _grid_to_rows_bwd)
 
 
+# ---------------------------------------------------------------------------
+# z-fold core: the tiny-cin large-kernel specialist
+#
+# A 3-channel 3-D conv gives XLA's implicit GEMM a contraction depth of 3 —
+# the MXU runs at <1% utilization (measured 0.86 ms for 2.65 GFLOP at k=5 on
+# the 110k-cell surface grid).  Folding the minor spatial axis into channels
+# — dense (B,X,Y,Z,cin) → (B,X,Y,Z·cin), W → a block-banded 2-D kernel
+# (kx,ky,Z·cin,Z·cout) with the kz taps on the band diagonals — multiplies
+# the FLOPs by Z/kz but runs them at MXU-saturating shapes: measured
+# (v5e, prof_zfold2, sum-consumed) fwd 0.07 / 0.21 / 0.43 ms at k=3/5/7 vs
+# 3-D conv 0.35* / 0.86 / 2.56, and the folded shifted-slice dW
+# 0.45 / 0.76 / 1.17 ms vs 1.5 / 3.7 for the 3-D shifted slices.
+# Exact to f32 roundoff (rel err ~3e-7).  No reference analogue: the
+# reference's stem runs im2col/gather GEMMs (src/convolution_kernel.cu).
+# ---------------------------------------------------------------------------
+
+_ZFOLD_MAX_CIN = 8
+_ZFOLD_MAX_B2_BYTES = 128 * 1024 * 1024
+
+
+def _use_zfold(ks, cin, cout, grid_shape) -> bool:
+    """Fold only 3-D stride-1 convs at tiny cin (the FLOP inflation Z/kz
+    only pays when the unfolded contraction depth starves the MXU) with a
+    bounded banded-weight buffer."""
+    if len(ks) != 3 or len(grid_shape) != 4:
+        return False
+    Z = grid_shape[-1]
+    if cin > _ZFOLD_MAX_CIN:
+        return False
+    kxy = ks[0] * ks[1]
+    if kxy * (Z * cin) * (Z * cout) * 4 > _ZFOLD_MAX_B2_BYTES:
+        return False
+    return True
+
+
+@functools.lru_cache(maxsize=64)
+def _band_meta(kz, dil_z, pad_lo_z, Z, cin, cout):
+    """Static scatter/gather indices between W's z taps and the banded 2-D
+    kernel.  Returns (flat_band, widx, dw_gather):
+      flat_band[i] — flat position in (Z·cin)·(Z·cout) of band entry i,
+      widx[i]      — source position in kz·cin·cout for entry i,
+      dw_gather    — (kz·Z·cin·cout,) int32 positions into the flat band
+                     (-1 where (dz, z_out) is out of range), laid out so
+                     dW = take(dB2, dw_gather).reshape(kz, Z, cin, cout)
+                     .sum(axis=1) — a pure gather + dense reduction, no
+                     scatter-add."""
+    rows, cols, widx = [], [], []
+    for dz in range(kz):
+        for z_out in range(Z):
+            z_in = z_out + dz * dil_z - pad_lo_z
+            if not (0 <= z_in < Z):
+                continue
+            for ci in range(cin):
+                for co in range(cout):
+                    rows.append(z_in * cin + ci)
+                    cols.append(z_out * cout + co)
+                    widx.append((dz * cin + ci) * cout + co)
+    flat_band = (
+        np.asarray(rows, np.int64) * (Z * cout) + np.asarray(cols, np.int64)
+    ).astype(np.int32)
+    widx = np.asarray(widx, np.int32)
+    dw_gather = np.full((kz * Z * cin * cout,), -1, np.int32)
+    for dz in range(kz):
+        for z_out in range(Z):
+            z_in = z_out + dz * dil_z - pad_lo_z
+            if not (0 <= z_in < Z):
+                continue
+            for ci in range(cin):
+                for co in range(cout):
+                    pos = ((dz * Z + z_out) * cin + ci) * cout + co
+                    dw_gather[pos] = (z_in * cin + ci) * (Z * cout) + (
+                        z_out * cout + co
+                    )
+    return flat_band, widx, dw_gather
+
+
+def _build_band(w, ks, dilation, padding, Z):
+    """W (kx,ky,kz,cin,cout) → banded 2-D kernel (kx,ky,Z·cin,Z·cout)."""
+    kx, ky, kz, cin, cout = w.shape
+    flat_band, widx, _ = _band_meta(
+        kz, int(dilation[2]), int(padding[2][0]), Z, cin, cout
+    )
+    wflat = w.reshape(kx * ky, kz * cin * cout)
+    b2 = (
+        jnp.zeros((kx * ky, Z * cin * Z * cout), w.dtype)
+        .at[:, jnp.asarray(flat_band)]
+        .set(wflat[:, jnp.asarray(widx)])
+    )
+    return b2.reshape(kx, ky, Z * cin, Z * cout)
+
+
+def _zfold_fwd_impl(dense, w, ks, dilation, padding):
+    B, X, Y, Z, cin = dense.shape
+    cout = w.shape[-1]
+    d2 = dense.reshape(B, X, Y, Z * cin)
+    b2 = _build_band(w, ks, dilation, padding, Z)
+    o2 = jax.lax.conv_general_dilated(
+        d2, b2,
+        window_strides=(1, 1),
+        padding=[tuple(padding[0]), tuple(padding[1])],
+        rhs_dilation=tuple(dilation[:2]),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            d2.shape, b2.shape, ("NHWC", "HWIO", "NHWC")
+        ),
+    )
+    return o2.reshape(B, X, Y, Z, cout)
+
+
+def _dw_zfold(dense, g, ks, dilation, padding):
+    """Filter gradient in the folded layout: kx·ky shifted-slice GEMMs at
+    (cells_xy, Z·cin) @ (cells_xy, Z·cout) — MXU-saturating contraction
+    shapes — then a scatter-free band gather + z-reduction back to
+    (kx,ky,kz,cin,cout).  Measured 0.45/0.76/1.17 ms at k=3/5/7 (110k-cell
+    surface grid) vs 1.5/3.7 ms for the unfolded shifted slices."""
+    B, X, Y, Z, cin = dense.shape
+    cout = g.shape[-1]
+    kx, ky, kz = ks
+    d2 = dense.reshape(B, X, Y, Z * cin)
+    g2d = g.reshape(-1, Z * cout)
+    xp = jnp.pad(
+        d2, [(0, 0), tuple(padding[0]), tuple(padding[1]), (0, 0)]
+    )
+    _, _, dw_gather = _band_meta(
+        kz, int(dilation[2]), int(padding[2][0]), Z, cin, cout
+    )
+    dws = []
+    for dx in range(kx):
+        for dy in range(ky):
+            v = jax.lax.slice(
+                xp,
+                (0, dx * dilation[0], dy * dilation[1], 0),
+                (B, dx * dilation[0] + X, dy * dilation[1] + Y, Z * cin),
+            )
+            dws.append(
+                jax.lax.dot_general(
+                    v.reshape(-1, Z * cin), g2d,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+    db2 = jnp.stack(dws, 0).reshape(kx * ky, Z * cin * Z * cout)
+    idx = jnp.asarray(dw_gather)
+    safe = jnp.where(idx >= 0, idx, db2.shape[1])
+    picked = jnp.take(db2, safe, axis=1, mode="fill", fill_value=0.0)
+    dw = picked.reshape(kx * ky, kz, Z, cin, cout).sum(axis=2)
+    return dw.reshape(kx, ky, kz, cin, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _zfold_core(dense, w, ks, dilation, padding):
+    return _zfold_fwd_impl(dense, w, ks, dilation, padding)
+
+
+def _zfold_core_fwd(dense, w, ks, dilation, padding):
+    return _zfold_fwd_impl(dense, w, ks, dilation, padding), (dense, w)
+
+
+def _zfold_core_bwd(ks, dilation, padding, res, g):
+    dense, w = res
+    # dx: input-grad of the folded 2-D conv (measured ~free); dead code
+    # when the caller never differentiates the input
+    _, vjp_x = jax.vjp(
+        lambda d: _zfold_fwd_impl(d, w, ks, dilation, padding), dense
+    )
+    (dx,) = vjp_x(g)
+    dw = _dw_zfold(dense, g, ks, dilation, padding).astype(w.dtype)
+    return dx, dw
+
+
+_zfold_core.defvjp(_zfold_core_fwd, _zfold_core_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _dense_conv_core(dense, w, ks, dilation, padding):
     return _raw_dense_conv(dense, w, ks, dilation, padding)
@@ -608,7 +810,12 @@ def dense_conv(
         else:
             padding.append((0, dil * (k - 1)))
 
-    out_dense = _dense_conv_core(
+    core = (
+        _zfold_core
+        if _use_zfold(ks, cin, cout, plan.grid_shape)
+        else _dense_conv_core
+    )
+    out_dense = core(
         dense, w, ks, tuple(dilation), tuple(tuple(p) for p in padding)
     ).astype(feats.dtype)
 

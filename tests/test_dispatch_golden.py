@@ -36,17 +36,18 @@ UNIFORM = DensePlan(jnp.zeros((32768,), jnp.int32), (1, 112, 112, 64))
 class TestDenseDispatchGolden:
     """dense_conv_beneficial on the regimes the bench exercises.
 
-    Measured anchors (v5e, r4/r5): surface-26k k=3 sparse 1.06 ms vs
-    dense 1.40 (sparse wins); k=5 sparse 6.4 ms vs dense 1.37 (dense —
-    the e566dda regression was this flipping); 128-ch slab kernel always
-    beats dense conv FLOPs on empty cells.
+    Measured anchors (v5e, r5 zfold): surface-26k k=3 sparse
+    fwd 1.06 + bwd 0.28 ms vs dense-zfold fwd 0.45 + bwd 0.65 (dense wins
+    training); k=5 sparse 6.4 ms fwd alone vs dense-zfold 0.57 (dense —
+    the e566dda regression was this flipping); 128-ch (no zfold: cin > 8)
+    slab kernel always beats dense conv FLOPs on empty cells.
     """
 
     CASES = [
         # (name, plan, capacity, K, cin, cout, kwargs, expected)
-        ("k3_surface_cached_sparse", SURFACE, 32768, 27, 3, 32,
+        ("k3_surface_cached_dense", SURFACE, 32768, 27, 3, 32,
          dict(cached_slab_size=128, cached_sub_tiles=4,
-              cached_ov_cap=16384), False),
+              cached_ov_cap=16384), True),
         ("k3_uniform_cached_sparse", UNIFORM, 32768, 27, 3, 32,
          dict(cached_slab_size=128, cached_sub_tiles=4,
               cached_ov_cap=16384), False),
