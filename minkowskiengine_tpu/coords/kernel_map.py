@@ -352,13 +352,28 @@ _MAX_SHIFT_STACK = 32 * 1024 * 1024
 # take the slices path (fine at every size tested standalone) while
 # fused builds keep the stack.
 _GRID_BUILD_MODE = os.environ.get("ME_GRID_BUILD")  # None → auto
-_STACK_MAX_STANDALONE_K = 128  # k=5/D=3 (125) keeps stack; k=7 (343) → slices
+_STACK_MAX_STANDALONE_BYTES = 16 * 1024**3
+# Standalone stack builds transiently cost ~num_offsets × cells × 4 B × 128
+# (the layout pass tile-pads each (1, *ext) shifted slice 1 → 128 lanes:
+# measured 615 KB → 76.9 MB per slice on a 54³ room grid).  Cap that
+# estimate, not K, so the gate scales with grid size (ADVICE r4).  The
+# threshold is calibrated by benchmarks/ab_standalone_build.py on the
+# v5e: the slices path is 4–8× SLOWER standalone (uniform_k3 76 → 300
+# ms, surface_k5 291 → 2491 ms) and the stack path runs clean at k=5's
+# ~10 GB estimate (XLA frees dead slices; only k=7's ~27 GB actually
+# OOMed, e566dda) — so the cap sits between those two points.
 
 
-def _grid_build_mode(deferred: bool, num_offsets: int = 0) -> str:
+def _grid_build_mode(
+    deferred: bool, num_offsets: int = 0, cells: int = 0
+) -> str:
     if _GRID_BUILD_MODE:
         return _GRID_BUILD_MODE
-    if not deferred and num_offsets > _STACK_MAX_STANDALONE_K:
+    if (
+        not deferred
+        and num_offsets * max(cells, 1) * 4 * 128
+        > _STACK_MAX_STANDALONE_BYTES
+    ):
         return "slices"
     return "stack"
 
@@ -509,7 +524,7 @@ def _build_in_idx_grid(
     offsets = np.asarray(offsets)  # static host constants by construction
     K = int(offsets.shape[0])
     C_out = out_coords.shape[0]
-    if _grid_build_mode(deferred, K) == "slices":
+    if _grid_build_mode(deferred, K, math.prod(grid_shape)) == "slices":
         return _build_in_idx_slices(probe, out_coords, n_out, offsets)
     valid_out = (jnp.arange(C_out, dtype=jnp.int32) < jnp.int32(n_out))[None, :]
     cell_offs, req_cls = _cell_offsets_for(offsets, ts, grid_shape)
