@@ -217,8 +217,29 @@ def _sub_rel_for(idx, valid, start, slab_size, sub_size, tile):
     return jnp.clip(rel, 0, max(slab_size - sub_size, 0)).astype(jnp.int32)
 
 
-def _sub_enabled(sub_size, slab_size, tile):
-    return 0 < sub_size < slab_size and tile % SUB_TILE == 0
+# The scalar-prefetch block lives in SMEM (1 MiB on v5e).  Two-tier maps
+# carry K·J extra sub_rel rows: at K=125/T=256 (J=4) and 512 tiles that is
+# 627 rows × 512 × 4 B = 1.28 MB — a Mosaic allocation failure (hit by the
+# 104k-voxel batch=4 capacity probe).  Sub-windows are disabled at BUILD
+# time when the full block would not fit (a static, per-capacity-bucket
+# decision — no re-lowering jitter), and `pallas_conv_supported` routes to
+# the XLA path when even the base starts rows cannot fit.
+_SMEM_PREFETCH_BUDGET = 768 * 1024
+
+
+def _prefetch_fits(num_k, tile, nt, with_sub: bool) -> bool:
+    rows = num_k + 2  # starts + union row + ntef row
+    if with_sub:
+        rows += num_k * (tile // SUB_TILE)
+    return rows * nt * 4 <= _SMEM_PREFETCH_BUDGET
+
+
+def _sub_enabled(sub_size, slab_size, tile, num_k=0, nt=0):
+    return (
+        0 < sub_size < slab_size
+        and tile % SUB_TILE == 0
+        and _prefetch_fits(num_k, tile, nt, True)
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
@@ -571,7 +592,11 @@ def build_slab_map_from_span(
     sub_choice = sub if sub else slab  # disabled encodes as S
     if min_slab is not None:
         sub_choice = max(sub_choice, int(min_slab[3]))
-    sub = sub_choice if _sub_enabled(sub_choice, slab, tile) else 0
+    sub = (
+        sub_choice
+        if _sub_enabled(sub_choice, slab, tile, K, Co // tile)
+        else 0
+    )
     extra_rung = _round_up(max(int(union_extra), 1), 256)
     if min_slab is not None:
         extra_rung = max(extra_rung, int(min_slab[1]))
@@ -613,7 +638,7 @@ def build_slab_map_floored(
     if Co % tile != 0 or slab <= 0:
         return None
     slab = min(int(slab), capacity_in)
-    sub = sub if _sub_enabled(sub, slab, tile) else 0
+    sub = sub if _sub_enabled(sub, slab, tile, K, Co // tile) else 0
     union = (
         _union_rung(extra_rung + slab + 16, capacity_in) if extra_rung else 0
     )
@@ -1242,6 +1267,9 @@ def pallas_conv_supported(slab_map: Optional[SlabMap], weights_shape) -> bool:
     cin_p = _round_up(Cin, 128)
     cout_p = _round_up(Cout, 128)
     S, T = slab_map.slab_size, slab_map.tile
+    nt = slab_map.local_tk.shape[0]
+    if not _prefetch_fits(K, T, nt, bool(slab_map.sub_size)):
+        return False  # scalar-prefetch block would overflow SMEM
     if _union_enabled(slab_map, cin_p, 4):
         slab_vmem = 2 * slab_map.union_size * cin_p * 4
     else:

@@ -267,3 +267,45 @@ class TestTracedOkSubWindows:
         mgr._kernel_maps[("fake",)] = KernelMap(in_idx, in_idx, 10, 10, good, None)
         assert bool(mgr.traced_ok())
         mgr._deferred = None
+
+
+class TestSmemPrefetchGate:
+    """The scalar-prefetch block must fit SMEM (1 MiB on v5e): K=125
+    two-tier at 512 tiles is 627 rows x 512 x 4 B = 1.28 MB and crashed
+    Mosaic allocation at the 104k-voxel batch=4 scale."""
+
+    def test_sub_disabled_when_prefetch_would_overflow_smem(self):
+        from minkowskiengine_tpu.ops.pallas.conv_kernel import (
+            _prefetch_fits,
+            pallas_conv_supported,
+        )
+
+        K, cap = 125, 131072
+        rng = np.random.default_rng(0)
+        in_idx = jnp.asarray(
+            np.where(
+                rng.random((K, cap)) < 0.2,
+                rng.integers(0, cap, (K, cap)),
+                -1,
+            ).astype(np.int32)
+        )
+        sm = build_slab_map_floored(in_idx, cap, (320, 256, 512, 128))
+        assert sm.sub_size == 0  # two-tier would need 1.28 MB of SMEM
+        assert _prefetch_fits(K, sm.tile, sm.local_tk.shape[0], False)
+        assert pallas_conv_supported(sm, (K, 3, 32))
+
+    def test_base_overflow_routes_to_xla(self):
+        from minkowskiengine_tpu.ops.pallas.conv_kernel import (
+            pallas_conv_supported,
+        )
+
+        K, cap = 343, 524288  # 345 rows x 2048 tiles x 4 B = 2.8 MB
+        in_idx = jnp.full((K, cap), -1, jnp.int32)
+        in_idx = in_idx.at[:, :64].set(0)
+        sm = build_slab_map_floored(in_idx, cap, (320, 256, 512, 0))
+        assert sm is None or not pallas_conv_supported(sm, (K, 3, 32))
+
+    def test_small_builds_keep_two_tier(self):
+        sm_small = surface_kmap(n_points=80_000)[0]
+        # the headline-scale surface map still gets its sub windows
+        assert sm_small is not None
