@@ -345,6 +345,7 @@ def main():
     # headline is ready — print the machine-readable line NOW so slower
     # auxiliary sections (model-scale compile) cannot starve it
     baseline = 0.093  # Titan X single conv fwd k=3 (docs/benchmark.md:35)
+    put("headline_vs_baseline", baseline / th_min)
     print(
         json.dumps(
             {
