@@ -77,9 +77,18 @@ def main():
                         tile=sm.tile,
                     )
 
+        from minkowskiengine_tpu.ops.pallas import conv_kernel as ck
+
+        if variants.get("tier1") is not None:
+            variants["wide"] = variants["tier1"]  # wide kernel, same map
+
         ref = None
         for name, smv in variants.items():
             if smv is None:
+                continue
+            ck._WIDE_KERNEL_ENV = "1" if name == "wide" else "0"
+            if name == "wide" and not ck._wide_eligible(smv, 128, 128, 27):
+                print(f"[{tag}] wide: not eligible", file=sys.stderr)
                 continue
 
             def chain(f, w_, sm_=smv):

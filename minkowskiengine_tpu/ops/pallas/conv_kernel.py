@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -890,6 +891,106 @@ def _conv_fwd_kernel_union(
             out_ref[...] = jnp.zeros_like(out_ref)
 
 
+def _conv_fwd_kernel_union_wide(
+    starts_ref,  # (K+1 (+1), nt) SMEM — row K = per-tile union starts
+    local_ref,  # (1, K, T) VMEM — this tile's local indices (single-tier)
+    w2_ref,  # (K·Cin, Cout) VMEM — weights reshaped for ONE long dot
+    feats_hbm,  # (Ci, Cin) ANY/HBM
+    out_ref,  # (T, Cout) VMEM
+    slab_ref,  # (2, U, Cin) VMEM — double-buffered per-TILE union slabs
+    sem,  # (2,)
+    *,
+    slab_size: int,
+    union_size: int,
+    num_k: int,
+    num_t: int,
+    ntef_row: int = -1,
+):
+    """Wide-channel union forward: the per-offset structure of
+    ``_conv_fwd_kernel_union`` splits a tile's work into ~2K dots (K
+    gathers + K (T,Cin)@(Cin,Cout) weight dots), each paying MXU fill
+    latency and a (1,T)→(T,1) index relayout — measured ~17–19% MXU on
+    the executed FLOPs at Cin=Cout=128.  This variant restructures the
+    same math as K gather dots feeding ONE (T, K·Cin)@(K·Cin, Cout)
+    contraction: the index block is transposed once per tile (one
+    relayout instead of K), each offset's one-hot column is a static
+    lane slice of it, and the weight contraction runs K·Cin deep.
+    Single-tier only (sub-windows re-split the gathers)."""
+    t = pl.program_id(0)
+    nte = starts_ref[ntef_row, 0] if ntef_row >= 0 else num_t
+
+    def tile_copy(tt, sl):
+        u = pl.multiple_of(starts_ref[num_k, tt], 16)
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(u, union_size), :],
+            slab_ref.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        tile_copy(0, 0).start()
+
+    slot = jax.lax.rem(t, 2)
+
+    @pl.when(t + 1 < nte)
+    def _():
+        tile_copy(t + 1, jax.lax.rem(t + 1, 2)).start()
+
+    def compute():
+        tile_copy(t, slot).wait()
+        T = out_ref.shape[0]
+        u_t = starts_ref[num_k, t]
+        lT = local_ref[0].T  # (T, K): ONE relayout for all offsets
+        cols = jax.lax.broadcasted_iota(jnp.int32, (T, slab_size), 1)
+        parts = []
+        for k in range(num_k):
+            rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
+            li_col = lT[:, k : k + 1]  # (T, 1) — static lane slice
+            window = slab_ref[slot, pl.ds(rel, slab_size), :]
+            P = (cols == li_col).astype(w2_ref.dtype)
+            parts.append(
+                jnp.dot(P, window, preferred_element_type=jnp.float32)
+            )
+        G = jnp.concatenate(parts, axis=1).astype(w2_ref.dtype)
+        out_ref[...] = jnp.dot(
+            G, w2_ref[...], preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+    if ntef_row < 0:
+        compute()
+    else:
+        pl.when(t < nte)(compute)
+
+        @pl.when(jnp.logical_not(t < nte))
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+
+# Wide-variant routing: experimental until its TPU A/B lands.
+#   ME_WIDE_KERNEL=1 — force on (when eligible), =0 — force off.
+_WIDE_KERNEL_ENV = os.environ.get("ME_WIDE_KERNEL")
+_WIDE_MIN_CIN = 64
+_WIDE_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _wide_eligible(slab_map: SlabMap, cin_p: int, cout_p: int, K: int) -> bool:
+    if _WIDE_KERNEL_ENV == "0" or _WIDE_KERNEL_ENV is None:
+        return False
+    if slab_map.sub_size or not _union_enabled(slab_map, cin_p, 4):
+        return False
+    if cin_p < _WIDE_MIN_CIN:
+        return False
+    T = slab_map.tile
+    vmem = (
+        2 * slab_map.union_size * cin_p * 4  # union double buffer
+        + K * cin_p * cout_p * 4  # reshaped weights
+        + T * K * cin_p * 4  # concatenated gather block
+        + 2 * T * cout_p * 4
+    )
+    return vmem <= _WIDE_VMEM_BUDGET
+
+
 def _pad_lanes(x, axis):
     """Pad ``axis`` to a multiple of 128 (HBM rows are lane-padded anyway,
     and Mosaic requires lane-aligned DMA slices)."""
@@ -960,6 +1061,46 @@ def sparse_conv_fwd_pallas(
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
     prefetch = _prefetch_rows(slab_map, use_union)
     prefetch, ntef_row = _append_ntef(prefetch, n_valid_out, T, nt)
+    if use_union and not sub and _wide_eligible(slab_map, Cin, Cout, K):
+        U = slab_map.union_size
+        w2 = weights.reshape(K * Cin, Cout)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, lrows, llanes), lambda t, s: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (K * Cin, Cout), lambda t, s: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(
+                (T, Cout), lambda t, s: (t, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, U, Cin), feats.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _conv_fwd_kernel_union_wide,
+                slab_size=S, union_size=U, num_k=K, num_t=nt,
+                ntef_row=ntef_row,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Co, Cout), feats.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * K * Co * Cin * (Cout + S),
+                bytes_accessed=nt * U * Cin * feats.dtype.itemsize
+                + Co * Cout * 4,
+                transcendentals=0,
+            ),
+        )(prefetch, slab_map.local_tk, w2, feats)
     if use_union:
         U = slab_map.union_size
         scratch = [

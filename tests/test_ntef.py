@@ -78,3 +78,41 @@ def test_dw_tail_skip_exact(ring):
             feats, g, sm, (K, Cin, Cout), n_valid_out=jnp.int32(n)
         )
     assert jnp.array_equal(full, skip)
+
+
+def test_wide_union_kernel_matches_standard():
+    """The wide-channel union variant (ME_WIDE_KERNEL): K gathers feeding
+    ONE (T, K*Cin)@(K*Cin, Cout) contraction must equal the per-offset
+    kernel bit-for-bit (same dots, same f32 accumulation order per k)."""
+    from minkowskiengine_tpu.ops.pallas import conv_kernel as ck
+    from minkowskiengine_tpu.ops.pallas.conv_kernel import (
+        build_slab_map_floored,
+    )
+
+    cap, K, Cin, Cout, n = 1024, 8, 128, 128, 700
+    rng0 = np.random.RandomState(0)
+    base = np.arange(cap)[None, :].repeat(K, 0)
+    idx = np.clip(base + rng0.randint(-40, 40, (K, cap)), 0, n - 1)
+    mask = (rng0.rand(K, cap) < 0.5) & (np.arange(cap)[None, :] < n)
+    in_idx = jnp.asarray(np.where(mask, idx, -1).astype(np.int32))
+    sm = build_slab_map_floored(in_idx, cap, (128, 256, 512, 0))
+    assert sm.union_size > 0 and sm.sub_size == 0
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(cap, Cin).astype(np.float32)).at[n:].set(0)
+    w = jnp.asarray(rng.randn(K, Cin, Cout).astype(np.float32)) * 0.1
+    old = ck._WIDE_KERNEL_ENV
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            ck._WIDE_KERNEL_ENV = "0"
+            std = sparse_conv_fwd_pallas(feats, w, sm, n_valid_out=jnp.int32(n))
+            ck._WIDE_KERNEL_ENV = "1"
+            assert ck._wide_eligible(sm, Cin, Cout, K)
+            wide = sparse_conv_fwd_pallas(
+                feats, w, sm, n_valid_out=jnp.int32(n)
+            )
+    finally:
+        ck._WIDE_KERNEL_ENV = old
+    np.testing.assert_allclose(
+        np.asarray(std), np.asarray(wide), rtol=1e-6, atol=1e-5
+    )
+    assert float(jnp.abs(wide).sum()) > 0
