@@ -24,6 +24,7 @@ index -1 means "no pair" and gathers a zero row.  Padding rows are never
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -158,26 +159,69 @@ def _outlier_apply(out, buf, kernel, slab):
     outside [0, S) (ops/pallas/conv_kernel.py ``_slab_metadata``); with
     outlier-tolerant rung sizing those pairs are real matches (span-tail
     pairs on surface geometry) carried in ``slab.ov_*`` and applied here
-    as plain XLA gather → masked per-offset GEMM → scatter-add.  Cost:
-    K·P·Cin·Cout MXU FLOPs (P ≤ 16k) — negligible next to the ~6× slab
-    shrink it buys on room scans.
+    as plain XLA gather → grouped GEMM → scatter-add.
+
+    Two grouped-GEMM shapes, picked by channel width:
+    - narrow: k-blocked rows (P, K·Cin) @ (K·Cin, Cout) — one dense MXU
+      dot whose zero blocks select each pair's W[k]; K·P·Cin·Cout FLOPs,
+      cheap while K·Cin is small.
+    - wide (``_use_ragged_ov``): ``lax.ragged_dot`` over the k-sorted COO
+      list (``_extract_outliers`` compacts in flat k-major order, so
+      pairs are grouped by offset with the -1 padding tail folded into
+      the last group — padding rows gather zero and contribute nothing).
+      P·Cin·Cout FLOPs: at 128×128ch the k-blocked form costs as much as
+      the whole slab conv (~0.45 ms measured), the ragged form ~K× less.
     """
     if slab.ov_src is None:
         return out
     Kv = kernel.shape[0]
-    w2d = kernel.reshape(-1, kernel.shape[-1])
     X = take_rows(buf, slab.ov_src)  # (P, Cin); padding rows zero
-    parts = []
-    # ONE MXU matmul per chunk: (P, K·Cin) @ (K·Cin, Cout); the zero
-    # blocks of Xe select the pair's own W[k] (far fewer dispatches than a
-    # K-step scan — the scan measured 0.9 ms at 27 offsets from per-step
-    # overhead alone)
-    for lo, hi in _p_chunks(X.shape[0], Kv * X.shape[1]):
-        Xe = _k_blocked(X[lo:hi], slab.ov_k[lo:hi], Kv)
-        parts.append(jnp.dot(Xe, w2d, preferred_element_type=jnp.float32))
-    contrib = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    if _use_ragged_ov(Kv, X.shape[1], kernel.shape[-1]):
+        contrib = jax.lax.ragged_dot(
+            X, kernel, _ov_group_sizes(slab.ov_k, Kv),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        w2d = kernel.reshape(-1, kernel.shape[-1])
+        parts = []
+        # ONE MXU matmul per chunk: (P, K·Cin) @ (K·Cin, Cout); far fewer
+        # dispatches than a K-step scan — the scan measured 0.9 ms at 27
+        # offsets from per-step overhead alone
+        for lo, hi in _p_chunks(X.shape[0], Kv * X.shape[1]):
+            Xe = _k_blocked(X[lo:hi], slab.ov_k[lo:hi], Kv)
+            parts.append(jnp.dot(Xe, w2d, preferred_element_type=jnp.float32))
+        contrib = (
+            jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        )
     tgt = jnp.where(slab.ov_dst >= 0, slab.ov_dst, out.shape[0])
     return out.at[tgt].add(contrib.astype(out.dtype), mode="drop")
+
+
+_RAGGED_OV_ENV = os.environ.get("ME_RAGGED_OV")
+_RAGGED_MIN_KCIN = 512  # k-blocked wins below (one tiny dense dot)
+
+
+def _use_ragged_ov(kernel_volume, cin, cout):
+    if _RAGGED_OV_ENV is not None:
+        return _RAGGED_OV_ENV == "1"
+    del cout
+    return kernel_volume * cin >= _RAGGED_MIN_KCIN
+
+
+def _ov_group_sizes(ov_k, kernel_volume):
+    """Per-offset pair counts for the ragged grouped GEMMs.  ``ov_k`` is
+    k-sorted with the -1 padding tail last; the tail is folded into the
+    final group (its rows gather zero rows, so the group it lands in is
+    irrelevant)."""
+    counts = jnp.sum(
+        (
+            ov_k[:, None]
+            == jnp.arange(kernel_volume, dtype=ov_k.dtype)[None, :]
+        ).astype(jnp.int32),
+        axis=0,
+    )
+    pad = jnp.int32(ov_k.shape[0]) - jnp.sum(counts)
+    return counts.at[kernel_volume - 1].add(pad)
 
 
 _MAX_XE_ELEMS = 32 * 1024 * 1024  # k-blocked intermediate cap (128 MB f32)
@@ -203,12 +247,25 @@ def _k_blocked(X, ov_k, kernel_volume):
 
 def _outlier_dw(d_kernel, feats, g, slab):
     """dW correction for dropped pairs: ``dW[k] += feats[src]ᵀ ⊗ g[dst]``,
-    as one GEMM on the k-blocked pair rows (see _outlier_apply)."""
+    as a grouped GEMM on the k-sorted pair rows (see _outlier_apply for
+    the narrow/wide split; the wide form is ``ragged_dot_general`` with
+    the pair axis ragged-contracted, yielding one (K, Cin, Cout) output)."""
     if slab.ov_src is None:
         return d_kernel
     Kv, cin, cout = d_kernel.shape
     X = take_rows(feats, slab.ov_src)
     G = take_rows(g, slab.ov_dst)  # (P, Cout); padding rows zero
+    if _use_ragged_ov(Kv, cin, cout):
+        rdn = jax.lax.RaggedDotDimensionNumbers(
+            dot_dimension_numbers=(((0,), (0,)), ((), ())),
+            lhs_ragged_dimensions=[0],
+            rhs_group_dimensions=[],
+        )
+        dws = jax.lax.ragged_dot_general(
+            X, G, _ov_group_sizes(slab.ov_k, Kv), rdn,
+            preferred_element_type=jnp.float32,
+        )
+        return d_kernel + dws.astype(d_kernel.dtype)
     dws = 0.0
     for lo, hi in _p_chunks(X.shape[0], Kv * cin):
         Xe = _k_blocked(X[lo:hi], slab.ov_k[lo:hi], Kv)

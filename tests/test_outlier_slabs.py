@@ -172,6 +172,52 @@ class TestOutlierSlabs:
             np.asarray(d_w), np.asarray(d_w_e), rtol=1e-4, atol=1e-4
         )
 
+    def test_ragged_correction_matches_k_blocked(self, monkeypatch):
+        """The wide-channel ``ragged_dot`` grouped-GEMM correction path is
+        bit-for-bit the same contraction as the narrow k-blocked one-hot
+        GEMM (both route through _outlier_apply/_outlier_dw; the ragged
+        form folds the -1 padding tail into the last offset group whose
+        gathered rows are zero)."""
+        import minkowskiengine_tpu.ops.functional as F
+
+        x, km = surface_kmap()
+        rng = np.random.RandomState(7)
+        Kv = km.kernel_volume
+        cin, cout = 48, 40  # Kv*cin above the default ragged threshold
+        W = jnp.asarray(rng.randn(Kv, cin, cout).astype(np.float32)) * 0.1
+        feats = jnp.asarray(
+            rng.randn(km.capacity_in, cin).astype(np.float32)
+        )
+        cot = jnp.asarray(
+            rng.randn(km.capacity_out, cout).astype(np.float32)
+        )
+        fwd = build_slab_map_floored(
+            km.in_idx, km.capacity_in, (320, 256, 16384, 320)
+        )
+        assert fwd.ov_src is not None and int(fwd.ov_count) > 0
+        out0 = jnp.zeros((km.capacity_out, cout), jnp.float32)
+        dw0 = jnp.zeros((Kv, cin, cout), jnp.float32)
+
+        monkeypatch.setattr(F, "_RAGGED_OV_ENV", "0")
+        apply_blocked = F._outlier_apply(out0, feats, W, fwd)
+        dw_blocked = F._outlier_dw(dw0, feats, cot, fwd)
+        monkeypatch.setattr(F, "_RAGGED_OV_ENV", "1")
+        apply_ragged = F._outlier_apply(out0, feats, W, fwd)
+        dw_ragged = F._outlier_dw(dw0, feats, cot, fwd)
+
+        np.testing.assert_allclose(
+            np.asarray(apply_ragged), np.asarray(apply_blocked),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dw_ragged), np.asarray(dw_blocked),
+            rtol=2e-4, atol=2e-4,
+        )
+        # default gate: wide channels ragged, tiny channels k-blocked
+        monkeypatch.setattr(F, "_RAGGED_OV_ENV", None)
+        assert F._use_ragged_ov(Kv, cin, cout)
+        assert not F._use_ragged_ov(27, 3, 32)
+
     def test_subtier_extraction_matches_measure_counters(self):
         """The two-tier block of measure_spans bit-matches
         _extract_outliers under the same (S, S') window rule."""
