@@ -81,13 +81,14 @@ def main():
 
         if variants.get("tier1") is not None:
             variants["wide"] = variants["tier1"]  # wide kernel, same map
+        variants["wide2"] = sm  # wide kernel on the production 2-tier map
 
         ref = None
         for name, smv in variants.items():
             if smv is None:
                 continue
-            ck._WIDE_KERNEL_ENV = "1" if name == "wide" else "0"
-            if name == "wide" and not ck._wide_eligible(smv, 128, 128, 27):
+            ck._WIDE_KERNEL_ENV = "1" if name.startswith("wide") else "0"
+            if name.startswith("wide") and not ck._wide_eligible(smv, 128, 128, 27):
                 print(f"[{tag}] wide: not eligible", file=sys.stderr)
                 continue
 

@@ -892,8 +892,8 @@ def _conv_fwd_kernel_union(
 
 
 def _conv_fwd_kernel_union_wide(
-    starts_ref,  # (K+1 (+1), nt) SMEM — row K = per-tile union starts
-    local_ref,  # (1, K, T) VMEM — this tile's local indices (single-tier)
+    starts_ref,  # (K+1 (+K·J) (+1), nt) SMEM — row K = union starts
+    local_ref,  # (1, K, T) / (1, K·J, SUB_TILE) VMEM — local indices
     w2_ref,  # (K·Cin, Cout) VMEM — weights reshaped for ONE long dot
     feats_hbm,  # (Ci, Cin) ANY/HBM
     out_ref,  # (T, Cout) VMEM
@@ -904,6 +904,7 @@ def _conv_fwd_kernel_union_wide(
     union_size: int,
     num_k: int,
     num_t: int,
+    sub_size: int = 0,
     ntef_row: int = -1,
 ):
     """Wide-channel union forward: the per-offset structure of
@@ -911,11 +912,13 @@ def _conv_fwd_kernel_union_wide(
     gathers + K (T,Cin)@(Cin,Cout) weight dots), each paying MXU fill
     latency and a (1,T)→(T,1) index relayout — measured ~17–19% MXU on
     the executed FLOPs at Cin=Cout=128.  This variant restructures the
-    same math as K gather dots feeding ONE (T, K·Cin)@(K·Cin, Cout)
+    same math as the gather dots feeding ONE (T, K·Cin)@(K·Cin, Cout)
     contraction: the index block is transposed once per tile (one
-    relayout instead of K), each offset's one-hot column is a static
-    lane slice of it, and the weight contraction runs K·Cin deep.
-    Single-tier only (sub-windows re-split the gathers)."""
+    relayout instead of K or K·J), each one-hot column is a static lane
+    slice of it, and the weight contraction runs K·Cin deep.  With
+    two-tier maps (``sub_size``) the gathers stay per-(offset, sub-tile)
+    narrow (SUB_TILE, S') windows — the long weight dot is orthogonal to
+    the gather tiering."""
     t = pl.program_id(0)
     nte = starts_ref[ntef_row, 0] if ntef_row >= 0 else num_t
 
@@ -941,17 +944,39 @@ def _conv_fwd_kernel_union_wide(
         tile_copy(t, slot).wait()
         T = out_ref.shape[0]
         u_t = starts_ref[num_k, t]
-        lT = local_ref[0].T  # (T, K): ONE relayout for all offsets
-        cols = jax.lax.broadcasted_iota(jnp.int32, (T, slab_size), 1)
+        # (T, K) or (SUB_TILE, K·J): ONE relayout for all offsets
+        lT = local_ref[0].T
+        width = sub_size if sub_size else slab_size
+        cols = jax.lax.broadcasted_iota(
+            jnp.int32, (lT.shape[0], width), 1
+        )
         parts = []
         for k in range(num_k):
-            rel = pl.multiple_of(starts_ref[k, t] - u_t, 16)
-            li_col = lT[:, k : k + 1]  # (T, 1) — static lane slice
-            window = slab_ref[slot, pl.ds(rel, slab_size), :]
-            P = (cols == li_col).astype(w2_ref.dtype)
-            parts.append(
-                jnp.dot(P, window, preferred_element_type=jnp.float32)
-            )
+            rel = starts_ref[k, t] - u_t
+            if sub_size:
+                J = T // SUB_TILE
+                sub_parts = []
+                for j in range(J):
+                    sr = pl.multiple_of(
+                        rel + starts_ref[num_k + 1 + k * J + j, t], 16
+                    )
+                    li_col = lT[:, k * J + j : k * J + j + 1]
+                    window = slab_ref[slot, pl.ds(sr, sub_size), :]
+                    P = (cols == li_col).astype(w2_ref.dtype)
+                    sub_parts.append(
+                        jnp.dot(
+                            P, window, preferred_element_type=jnp.float32
+                        )
+                    )
+                parts.append(jnp.concatenate(sub_parts, axis=0))
+            else:
+                rel = pl.multiple_of(rel, 16)
+                li_col = lT[:, k : k + 1]  # (T, 1) — static lane slice
+                window = slab_ref[slot, pl.ds(rel, slab_size), :]
+                P = (cols == li_col).astype(w2_ref.dtype)
+                parts.append(
+                    jnp.dot(P, window, preferred_element_type=jnp.float32)
+                )
         G = jnp.concatenate(parts, axis=1).astype(w2_ref.dtype)
         out_ref[...] = jnp.dot(
             G, w2_ref[...], preferred_element_type=jnp.float32
@@ -967,17 +992,24 @@ def _conv_fwd_kernel_union_wide(
             out_ref[...] = jnp.zeros_like(out_ref)
 
 
-# Wide-variant routing: experimental until its TPU A/B lands.
+# Wide-variant routing (TPU A/B, k=3 @128ch: two-tier wide on the
+# production maps is uniform 0.478 vs 0.722 ms and surface-26k 0.979 vs
+# 1.182 ms against the per-offset kernel, exact output match — wide
+# defaults ON when eligible).
 #   ME_WIDE_KERNEL=1 — force on (when eligible), =0 — force off.
 _WIDE_KERNEL_ENV = os.environ.get("ME_WIDE_KERNEL")
 _WIDE_MIN_CIN = 64
-_WIDE_VMEM_BUDGET = 12 * 1024 * 1024
+# v5e VMEM is ~16 MiB/core; the surface-26k two-tier config estimates
+# 13.8 MiB by the accounting below and compiles + wins on hardware, so
+# the budget sits just above it (Mosaic errors, not falls back, when a
+# kernel truly overflows — keep margin under the physical 16 MiB).
+_WIDE_VMEM_BUDGET = int(14.5 * 1024 * 1024)
 
 
 def _wide_eligible(slab_map: SlabMap, cin_p: int, cout_p: int, K: int) -> bool:
-    if _WIDE_KERNEL_ENV == "0" or _WIDE_KERNEL_ENV is None:
+    if _WIDE_KERNEL_ENV == "0":
         return False
-    if slab_map.sub_size or not _union_enabled(slab_map, cin_p, 4):
+    if not _union_enabled(slab_map, cin_p, 4):
         return False
     if cin_p < _WIDE_MIN_CIN:
         return False
@@ -986,6 +1018,7 @@ def _wide_eligible(slab_map: SlabMap, cin_p: int, cout_p: int, K: int) -> bool:
         2 * slab_map.union_size * cin_p * 4  # union double buffer
         + K * cin_p * cout_p * 4  # reshaped weights
         + T * K * cin_p * 4  # concatenated gather block
+        + T * K * cin_p * 4  # f32 gather parts pre-cast
         + 2 * T * cout_p * 4
     )
     return vmem <= _WIDE_VMEM_BUDGET
@@ -1061,7 +1094,7 @@ def sparse_conv_fwd_pallas(
     use_union = _union_enabled(slab_map, Cin, feats.dtype.itemsize)
     prefetch = _prefetch_rows(slab_map, use_union)
     prefetch, ntef_row = _append_ntef(prefetch, n_valid_out, T, nt)
-    if use_union and not sub and _wide_eligible(slab_map, Cin, Cout, K):
+    if use_union and _wide_eligible(slab_map, Cin, Cout, K):
         U = slab_map.union_size
         w2 = weights.reshape(K * Cin, Cout)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1090,12 +1123,12 @@ def sparse_conv_fwd_pallas(
             functools.partial(
                 _conv_fwd_kernel_union_wide,
                 slab_size=S, union_size=U, num_k=K, num_t=nt,
-                ntef_row=ntef_row,
+                sub_size=sub, ntef_row=ntef_row,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((Co, Cout), feats.dtype),
             cost_estimate=pl.CostEstimate(
-                flops=2 * K * Co * Cin * (Cout + S),
+                flops=2 * K * Co * Cin * (Cout + (sub if sub else S)),
                 bytes_accessed=nt * U * Cin * feats.dtype.itemsize
                 + Co * Cout * 4,
                 transcendentals=0,

@@ -80,10 +80,14 @@ def test_dw_tail_skip_exact(ring):
     assert jnp.array_equal(full, skip)
 
 
-def test_wide_union_kernel_matches_standard():
-    """The wide-channel union variant (ME_WIDE_KERNEL): K gathers feeding
-    ONE (T, K*Cin)@(K*Cin, Cout) contraction must equal the per-offset
-    kernel bit-for-bit (same dots, same f32 accumulation order per k)."""
+@pytest.mark.parametrize("sub", [0, 64])
+def test_wide_union_kernel_matches_standard(sub):
+    """The wide-channel union variant (ME_WIDE_KERNEL): the gathers feed
+    ONE (T, K*Cin)@(K*Cin, Cout) contraction which must equal the
+    per-offset kernel (same gather dots; the long weight dot contracts
+    the same products in a different association — exact at these
+    magnitudes).  ``sub`` > 0 exercises the two-tier form, whose gathers
+    stay per-(offset, sub-tile)."""
     from minkowskiengine_tpu.ops.pallas import conv_kernel as ck
     from minkowskiengine_tpu.ops.pallas.conv_kernel import (
         build_slab_map_floored,
@@ -95,8 +99,8 @@ def test_wide_union_kernel_matches_standard():
     idx = np.clip(base + rng0.randint(-40, 40, (K, cap)), 0, n - 1)
     mask = (rng0.rand(K, cap) < 0.5) & (np.arange(cap)[None, :] < n)
     in_idx = jnp.asarray(np.where(mask, idx, -1).astype(np.int32))
-    sm = build_slab_map_floored(in_idx, cap, (128, 256, 512, 0))
-    assert sm.union_size > 0 and sm.sub_size == 0
+    sm = build_slab_map_floored(in_idx, cap, (128, 256, 4096, sub))
+    assert sm.union_size > 0 and sm.sub_size == sub
     rng = np.random.RandomState(3)
     feats = jnp.asarray(rng.randn(cap, Cin).astype(np.float32)).at[n:].set(0)
     w = jnp.asarray(rng.randn(K, Cin, Cout).astype(np.float32)) * 0.1
