@@ -171,6 +171,15 @@ def _outlier_apply(out, buf, kernel, slab):
       the last group — padding rows gather zero and contribute nothing).
       P·Cin·Cout FLOPs: at 128×128ch the k-blocked form costs as much as
       the whole slab conv (~0.45 ms measured), the ragged form ~K× less.
+
+    The application itself is scatter-free when the slab map carries the
+    build-time dst-sort permutation (``ov_perm``): permute contributions
+    to dst-contiguous runs (run length ≤ K — one correction per offset
+    per output at most), segmented-scan the run sums, and fetch each
+    output row's run with one searchsorted + row gather.  The TPU
+    scatter emitter is shape-erratic (0.04 → 96 ms for ~1M updates at
+    near-identical shapes, CLAUDE.md); the gather form is deterministic.
+    ``ME_OV_APPLY=scatter`` forces the old ``.at[].add`` path.
     """
     if slab.ov_src is None:
         return out
@@ -193,8 +202,51 @@ def _outlier_apply(out, buf, kernel, slab):
         contrib = (
             jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         )
+    if _use_gather_ov(slab):
+        return _ov_apply_sorted(out, contrib, slab, Kv)
     tgt = jnp.where(slab.ov_dst >= 0, slab.ov_dst, out.shape[0])
     return out.at[tgt].add(contrib.astype(out.dtype), mode="drop")
+
+
+_OV_APPLY_ENV = os.environ.get("ME_OV_APPLY")  # "scatter" forces .at[].add
+
+
+def _use_gather_ov(slab) -> bool:
+    return slab.ov_perm is not None and _OV_APPLY_ENV != "scatter"
+
+
+def _segment_runsums(vals, seg, max_run: int):
+    """Inclusive segmented (Hillis-Steele) scan over contiguous runs of
+    equal ``seg``: after ceil(log2(max_run)) doubling steps each run's
+    LAST element holds the run's full sum.  ``seg`` must be sorted so
+    runs are contiguous; per-run sums are exact f32 segment sums (no
+    cross-run cancellation, unlike a cumsum-difference)."""
+    P = vals.shape[0]
+    d = 1
+    while d < max_run and d < P:
+        shifted = jnp.concatenate([jnp.zeros_like(vals[:d]), vals[:-d]], 0)
+        same = jnp.concatenate(
+            [jnp.zeros((d,), bool), seg[d:] == seg[:-d]], 0
+        )
+        vals = vals + jnp.where(same[:, None], shifted, 0.0)
+        d <<= 1
+    return vals
+
+
+def _ov_apply_sorted(out, contrib, slab, kernel_volume: int):
+    """Scatter-free COO application: dst-sorted run sums, fetched from
+    the output side by searchsorted + gather."""
+    perm = slab.ov_perm
+    dst_s = jnp.take(slab.ov_dst, perm)
+    seg = jnp.where(dst_s >= 0, dst_s, jnp.int32(2**30))  # pad tail last
+    contrib_s = jnp.take(contrib, perm, axis=0)
+    sums = _segment_runsums(contrib_s, seg, kernel_volume)
+    rows = jnp.arange(out.shape[0], dtype=jnp.int32)
+    pos = jnp.searchsorted(seg, rows, side="right").astype(jnp.int32) - 1
+    pos_c = jnp.clip(pos, 0, seg.shape[0] - 1)
+    hit = (pos >= 0) & (jnp.take(seg, pos_c) == rows)
+    add = jnp.where(hit[:, None], jnp.take(sums, pos_c, axis=0), 0.0)
+    return out + add.astype(out.dtype)
 
 
 _RAGGED_OV_ENV = os.environ.get("ME_RAGGED_OV")

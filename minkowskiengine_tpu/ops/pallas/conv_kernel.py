@@ -113,6 +113,14 @@ class SlabMap:
         slab kernel ~6× faster than max-sized slabs.
       ov_count: optional () int32 device count of true outliers (validity:
         exact iff ov_count <= P; checked by traced_ok / the sync builder).
+      ov_perm: optional (P,) int32 dst-sort permutation of the COO lists
+        (stable argsort of ov_dst, -1 tail last) — lets the correction
+        pass apply contributions scatter-free: permute to dst-sorted
+        order, segmented-scan per-dst run sums (runs are contiguous and
+        ≤ K long), then one searchsorted + row gather from the OUTPUT
+        side (see ops/functional.py ``_outlier_apply``).  Computed once
+        at build time; the GEMM itself stays on the k-sorted order
+        ``ragged_dot`` wants.
       sub_size / sub_rel: two-tier windows (0 / None ⇒ single tier).
         ``sub_rel`` is (K·J, nt) int32 (J = T/SUB_TILE, row k·J + j):
         16-aligned per-(offset, tile, sub-tile) window offsets RELATIVE to
@@ -136,6 +144,7 @@ class SlabMap:
     ov_count: Optional[jnp.ndarray] = None
     sub_size: int = 0
     sub_rel: Optional[jnp.ndarray] = None
+    ov_perm: Optional[jnp.ndarray] = None
 
     @property
     def ov_cap(self) -> int:
@@ -154,6 +163,7 @@ class SlabMap:
             self.ov_k,
             self.ov_count,
             self.sub_rel,
+            self.ov_perm,
         ), (
             self.slab_size,
             self.union_size,
@@ -165,11 +175,12 @@ class SlabMap:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (starts, local_tk, u_starts, ov_src, ov_dst, ov_k, ov_count,
-         sub_rel) = children
+         sub_rel, ov_perm) = children
         slab_size, union_size, tile, capacity_in, sub_size = aux
         return cls(
             starts, local_tk, u_starts, slab_size, union_size, 0, tile,
             capacity_in, ov_src, ov_dst, ov_k, ov_count, sub_size, sub_rel,
+            ov_perm,
         )
 
 
@@ -350,7 +361,13 @@ def _extract_outliers(in_idx, cap_in, tile, slab_size, cap, sub_size=0):
     ov_src = jnp.where(found, jnp.take(src, pos, mode="clip"), -1)
     ov_dst = jnp.where(found, jnp.take(dst, pos, mode="clip"), -1)
     ov_k = jnp.where(found, jnp.take(kk, pos, mode="clip"), -1)
-    return ov_src, ov_dst, ov_k, count
+    # dst-sort permutation (padding tail sorts last): the scatter-free
+    # correction pass needs the COO list in dst-contiguous runs while the
+    # grouped GEMM needs k-major — one stable argsort here serves both.
+    ov_perm = jnp.argsort(
+        jnp.where(ov_dst >= 0, ov_dst, jnp.int32(2**30)), stable=True
+    ).astype(jnp.int32)
+    return ov_src, ov_dst, ov_k, count, ov_perm
 
 
 def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
@@ -613,11 +630,14 @@ def build_slab_map_from_span(
     if min_slab is not None:
         ov_cap = max(ov_cap, int(min_slab[2]))
     ov = (None, None, None, None)
+    ov_perm = None
     if ov_cap and (sub or slab < capacity_in):
-        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap, sub)
+        *ov, ov_perm = _extract_outliers(
+            in_idx, capacity_in, tile, slab, ov_cap, sub
+        )
     return SlabMap(
         starts, local_tk, u_starts, slab, union, extra_rung, tile,
-        capacity_in, *ov, sub, sub_rel,
+        capacity_in, *ov, sub, sub_rel, ov_perm,
     )
 
 
@@ -649,11 +669,14 @@ def build_slab_map_floored(
     if sub:
         ov_cap = max(ov_cap, _MIN_OV_CAP)
     ov = (None, None, None, None)
+    ov_perm = None
     if ov_cap and (sub or slab < capacity_in):
-        ov = _extract_outliers(in_idx, capacity_in, tile, slab, ov_cap, sub)
+        *ov, ov_perm = _extract_outliers(
+            in_idx, capacity_in, tile, slab, ov_cap, sub
+        )
     return SlabMap(
         starts, local_tk, u_starts, slab, union, extra_rung, tile,
-        capacity_in, *ov, sub, sub_rel,
+        capacity_in, *ov, sub, sub_rel, ov_perm,
     )
 
 

@@ -89,7 +89,7 @@ class TestOutlierSlabs:
         )
         assert int(vec[2]) == int((np.asarray(km.in_idx) >= 0).sum())
         for S, expected in zip(ladder, vec[3:]):
-            src, dst, kk, cnt = _extract_outliers(
+            src, dst, kk, cnt, _perm = _extract_outliers(
                 km.in_idx, km.capacity_in, tile, S, 1 << 16
             )
             assert int(cnt) == int(expected)
@@ -218,6 +218,37 @@ class TestOutlierSlabs:
         assert F._use_ragged_ov(Kv, cin, cout)
         assert not F._use_ragged_ov(27, 3, 32)
 
+    def test_gather_apply_matches_scatter(self, monkeypatch):
+        """The scatter-free dst-sorted application (segmented run sums +
+        searchsorted gather, the default when ``ov_perm`` exists) equals
+        the ``.at[].add`` scatter form on a real outlier list, for both
+        grouped-GEMM shapes."""
+        import minkowskiengine_tpu.ops.functional as F
+
+        x, km = surface_kmap()
+        rng = np.random.RandomState(9)
+        Kv = km.kernel_volume
+        for cin, cout in ((3, 8), (48, 40)):  # k-blocked and ragged GEMMs
+            W = jnp.asarray(rng.randn(Kv, cin, cout).astype(np.float32)) * 0.1
+            feats = jnp.asarray(
+                rng.randn(km.capacity_in, cin).astype(np.float32)
+            )
+            fwd = build_slab_map_floored(
+                km.in_idx, km.capacity_in, (320, 256, 16384, 128)
+            )
+            assert fwd.ov_perm is not None and int(fwd.ov_count) > 0
+            out0 = jnp.asarray(
+                rng.randn(km.capacity_out, cout).astype(np.float32)
+            )
+            monkeypatch.setattr(F, "_OV_APPLY_ENV", "scatter")
+            a = F._outlier_apply(out0, feats, W, fwd)
+            monkeypatch.setattr(F, "_OV_APPLY_ENV", None)
+            assert F._use_gather_ov(fwd)
+            b = F._outlier_apply(out0, feats, W, fwd)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-5
+            )
+
     def test_subtier_extraction_matches_measure_counters(self):
         """The two-tier block of measure_spans bit-matches
         _extract_outliers under the same (S, S') window rule."""
@@ -237,7 +268,7 @@ class TestOutlierSlabs:
                     # degenerate combo repeats the single-tier count
                     assert expected == int(vec[3 + i])
                     continue
-                src, dst, kk, cnt = _extract_outliers(
+                src, dst, kk, cnt, _perm = _extract_outliers(
                     km.in_idx, km.capacity_in, tile, S, 1 << 16, Sp
                 )
                 assert int(cnt) == expected
