@@ -186,9 +186,11 @@ def _outlier_apply(out, buf, kernel, slab):
     Kv = kernel.shape[0]
     X = take_rows(buf, slab.ov_src)  # (P, Cin); padding rows zero
     if _use_ragged_ov(Kv, X.shape[1], kernel.shape[-1]):
+        gs = slab.ov_gs if slab.ov_gs is not None else _ov_group_sizes(
+            slab.ov_k, Kv
+        )
         contrib = jax.lax.ragged_dot(
-            X, kernel, _ov_group_sizes(slab.ov_k, Kv),
-            preferred_element_type=jnp.float32,
+            X, kernel, gs, preferred_element_type=jnp.float32,
         )
     else:
         w2d = kernel.reshape(-1, kernel.shape[-1])
@@ -313,9 +315,11 @@ def _outlier_dw(d_kernel, feats, g, slab):
             lhs_ragged_dimensions=[0],
             rhs_group_dimensions=[],
         )
+        gs = slab.ov_gs if slab.ov_gs is not None else _ov_group_sizes(
+            slab.ov_k, Kv
+        )
         dws = jax.lax.ragged_dot_general(
-            X, G, _ov_group_sizes(slab.ov_k, Kv), rdn,
-            preferred_element_type=jnp.float32,
+            X, G, gs, rdn, preferred_element_type=jnp.float32,
         )
         return d_kernel + dws.astype(d_kernel.dtype)
     dws = 0.0

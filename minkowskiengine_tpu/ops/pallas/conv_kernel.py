@@ -145,6 +145,7 @@ class SlabMap:
     sub_size: int = 0
     sub_rel: Optional[jnp.ndarray] = None
     ov_perm: Optional[jnp.ndarray] = None
+    ov_gs: Optional[jnp.ndarray] = None
 
     @property
     def ov_cap(self) -> int:
@@ -164,6 +165,7 @@ class SlabMap:
             self.ov_count,
             self.sub_rel,
             self.ov_perm,
+            self.ov_gs,
         ), (
             self.slab_size,
             self.union_size,
@@ -175,12 +177,12 @@ class SlabMap:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (starts, local_tk, u_starts, ov_src, ov_dst, ov_k, ov_count,
-         sub_rel, ov_perm) = children
+         sub_rel, ov_perm, ov_gs) = children
         slab_size, union_size, tile, capacity_in, sub_size = aux
         return cls(
             starts, local_tk, u_starts, slab_size, union_size, 0, tile,
             capacity_in, ov_src, ov_dst, ov_k, ov_count, sub_size, sub_rel,
-            ov_perm,
+            ov_perm, ov_gs,
         )
 
 
@@ -367,7 +369,16 @@ def _extract_outliers(in_idx, cap_in, tile, slab_size, cap, sub_size=0):
     ov_perm = jnp.argsort(
         jnp.where(ov_dst >= 0, ov_dst, jnp.int32(2**30)), stable=True
     ).astype(jnp.int32)
-    return ov_src, ov_dst, ov_k, count, ov_perm
+    # per-offset group sizes of the COMPACTED list (ragged_dot metadata —
+    # recomputing it from ov_k at apply time cost 0.12 ms per correction,
+    # measured): per-k mask counts, cumulative-clipped at the capacity so
+    # truncated lists stay consistent, with the -1 padding tail folded
+    # into the last group (its rows gather zero and contribute nothing).
+    per_k = jnp.sum(out_mask.reshape(K, -1).astype(jnp.int32), axis=1)
+    ccl = jnp.clip(jnp.cumsum(per_k), 0, cap)
+    trunc = jnp.diff(ccl, prepend=jnp.zeros((1,), ccl.dtype))
+    ov_gs = trunc.at[K - 1].add(jnp.int32(cap) - ccl[-1]).astype(jnp.int32)
+    return ov_src, ov_dst, ov_k, count, ov_perm, ov_gs
 
 
 def slab_tile(capacity: int, tile: int = DEFAULT_TILE) -> int:
@@ -630,14 +641,14 @@ def build_slab_map_from_span(
     if min_slab is not None:
         ov_cap = max(ov_cap, int(min_slab[2]))
     ov = (None, None, None, None)
-    ov_perm = None
+    ov_perm = ov_gs = None
     if ov_cap and (sub or slab < capacity_in):
-        *ov, ov_perm = _extract_outliers(
+        *ov, ov_perm, ov_gs = _extract_outliers(
             in_idx, capacity_in, tile, slab, ov_cap, sub
         )
     return SlabMap(
         starts, local_tk, u_starts, slab, union, extra_rung, tile,
-        capacity_in, *ov, sub, sub_rel, ov_perm,
+        capacity_in, *ov, sub, sub_rel, ov_perm, ov_gs,
     )
 
 
@@ -669,14 +680,14 @@ def build_slab_map_floored(
     if sub:
         ov_cap = max(ov_cap, _MIN_OV_CAP)
     ov = (None, None, None, None)
-    ov_perm = None
+    ov_perm = ov_gs = None
     if ov_cap and (sub or slab < capacity_in):
-        *ov, ov_perm = _extract_outliers(
+        *ov, ov_perm, ov_gs = _extract_outliers(
             in_idx, capacity_in, tile, slab, ov_cap, sub
         )
     return SlabMap(
         starts, local_tk, u_starts, slab, union, extra_rung, tile,
-        capacity_in, *ov, sub, sub_rel, ov_perm,
+        capacity_in, *ov, sub, sub_rel, ov_perm, ov_gs,
     )
 
 

@@ -89,7 +89,7 @@ class TestOutlierSlabs:
         )
         assert int(vec[2]) == int((np.asarray(km.in_idx) >= 0).sum())
         for S, expected in zip(ladder, vec[3:]):
-            src, dst, kk, cnt, _perm = _extract_outliers(
+            src, dst, kk, cnt, _perm, _gs = _extract_outliers(
                 km.in_idx, km.capacity_in, tile, S, 1 << 16
             )
             assert int(cnt) == int(expected)
@@ -237,6 +237,11 @@ class TestOutlierSlabs:
                 km.in_idx, km.capacity_in, (320, 256, 16384, 128)
             )
             assert fwd.ov_perm is not None and int(fwd.ov_count) > 0
+            # build-time group sizes == the apply-time one-hot recompute
+            np.testing.assert_array_equal(
+                np.asarray(fwd.ov_gs),
+                np.asarray(F._ov_group_sizes(fwd.ov_k, Kv)),
+            )
             out0 = jnp.asarray(
                 rng.randn(km.capacity_out, cout).astype(np.float32)
             )
@@ -268,7 +273,7 @@ class TestOutlierSlabs:
                     # degenerate combo repeats the single-tier count
                     assert expected == int(vec[3 + i])
                     continue
-                src, dst, kk, cnt, _perm = _extract_outliers(
+                src, dst, kk, cnt, _perm, _gs = _extract_outliers(
                     km.in_idx, km.capacity_in, tile, S, 1 << 16, Sp
                 )
                 assert int(cnt) == expected
